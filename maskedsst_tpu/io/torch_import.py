@@ -1,0 +1,221 @@
+"""PyTorch ``.pth`` checkpoint import → flax parameter pytrees.
+
+The reference ships pre-trained checkpoints saved with ``torch.save`` of
+``{"model_state_dict": ...}`` dicts (pretrain.py:136-148, src/utils.py:584-604).
+This module maps those state dicts onto the parameter layout of
+maskedsst_tpu's models so imported logits match the reference to float
+precision (BASELINE.md parity target <1e-3).
+
+Key structural translations:
+
+* torch ``nn.Linear`` weight [out, in] → flax kernel [in, out] (transpose);
+* torch ``nn.LayerNorm`` weight/bias → flax scale/bias;
+* the reference's ``num_blocks`` separate blockwise-embedding Linears
+  (``to_patch_embedding.blockwise_embed.{i}``) stack into one
+  ``[blocks, patch_dim, dim]`` kernel + ``[blocks, dim]`` bias;
+* the per-block SimMIM decoders (``to_pixels.layers.{i}``) stack likewise;
+* ``spatial_spectral_transformer`` is a torch ``nn.Sequential`` whose
+  transformer stacks sit at index 1 (spatial) and 3 (spectral) — index 1 only
+  for ``spectral_only`` (src/vit_spatial_spectral.py:393-431).
+
+``load_pretrained_encoder`` replicates the finetune-time key surgery of the
+reference ``load_checkpoint`` (src/utils.py:276-313): strip the ``encoder.``
+prefix SimMIM adds, drop the pre-training-era classifier head in favor of the
+freshly initialized one, and truncate ``pos_embed`` rows when finetuning at a
+smaller image size (``patch_sub``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (or array) → float numpy array."""
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).T,
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _transformer(sd: Mapping[str, Any], prefix: str, depth: int) -> Dict[str, Any]:
+    """lucidrains Transformer (src/vit_spatial_spectral.py:81-104) → our
+    Transformer param tree (layers_{i}/{attn_norm, attn, ff_norm, ff})."""
+    out: Dict[str, Any] = {}
+    for i in range(depth):
+        base = f"{prefix}.layers.{i}"
+        layer = {
+            "attn_norm": _layernorm(sd, f"{base}.0.norm"),
+            "attn": {
+                "to_qkv": {"kernel": _np(sd[f"{base}.0.fn.to_qkv.weight"]).T},
+            },
+            "ff_norm": _layernorm(sd, f"{base}.1.norm"),
+            "ff": {
+                "fc1": _linear(sd, f"{base}.1.fn.net.0"),
+                "fc2": _linear(sd, f"{base}.1.fn.net.3"),
+            },
+        }
+        if f"{base}.0.fn.to_out.0.weight" in sd:
+            layer["attn"]["to_out"] = _linear(sd, f"{base}.0.fn.to_out.0")
+        out[f"layers_{i}"] = layer
+    return out
+
+
+def _stack_blockwise(sd: Mapping[str, Any], prefix: str, num_blocks: int) -> Dict[str, np.ndarray]:
+    """Stack ``{prefix}.{i}.weight/bias`` Linears → kernel [g, in, out], bias [g, out]."""
+    kernels = [_np(sd[f"{prefix}.{i}.weight"]).T for i in range(num_blocks)]
+    biases = [_np(sd[f"{prefix}.{i}.bias"]) for i in range(num_blocks)]
+    return {"kernel": np.stack(kernels, 0), "bias": np.stack(biases, 0)}
+
+
+def import_vit_spatial_spectral(sd: Mapping[str, Any], model) -> Dict[str, Any]:
+    """Reference ViTSpatialSpectral state dict → flax params for
+    :class:`maskedsst_tpu.models.ViTSpatialSpectral` (same config)."""
+    params: Dict[str, Any] = {}
+
+    if model.blockwise_patch_embed:
+        params["to_patch_embedding"] = {
+            "pre_norm": _layernorm(sd, "to_patch_embedding.pre_norm"),
+            "post_norm": _layernorm(sd, "to_patch_embedding.post_norm"),
+            "blockwise_kernel": _stack_blockwise(
+                sd, "to_patch_embedding.blockwise_embed", model.num_spectral_patches
+            )["kernel"],
+            "blockwise_bias": _stack_blockwise(
+                sd, "to_patch_embedding.blockwise_embed", model.num_spectral_patches
+            )["bias"],
+        }
+    else:
+        # reference PatchEmbed: to_patch = Sequential(Rearrange, LN) with the
+        # LN at index 1; embed = Sequential(Linear, LN) (indices 0, 1)
+        params["to_patch_embedding"] = {
+            "pre_norm": _layernorm(sd, "to_patch_embedding.to_patch.1"),
+            "proj": _linear(sd, "to_patch_embedding.embed.0"),
+            "post_norm": _layernorm(sd, "to_patch_embedding.embed.1"),
+        }
+
+    if model.spectral_pos_embed:
+        params["pos_embed"] = _np(sd["pos_embed"])
+        params["channel_embed"] = _np(sd["channel_embed"])
+    else:
+        params["pos_embedding"] = _np(sd["pos_embedding"])
+
+    if model.spectral_only:
+        params["spectral_transformer"] = _transformer(
+            sd, "spatial_spectral_transformer.1", model.depth
+        )
+    else:
+        params["spatial_transformer"] = _transformer(
+            sd, "spatial_spectral_transformer.1", model.depth
+        )
+        params["spectral_transformer"] = _transformer(
+            sd, "spatial_spectral_transformer.3", model.depth
+        )
+
+    # heads: Sequential(LN, Linear, ...) — Linear at index 2 when pixelwise
+    # (a Flatten sits at index 1), else index 1 (reference :437-493). Source
+    # checkpoints from (non-pixelwise) pre-training keep theirs at index 1.
+    if "mlp_head.0.weight" in sd:
+        params["head_norm"] = _layernorm(sd, "mlp_head.0")
+    for linear_idx in ((2, 1) if model.pixelwise else (1,)):
+        if f"mlp_head.{linear_idx}.weight" in sd:
+            params["head_linear"] = _linear(sd, f"mlp_head.{linear_idx}")
+            break
+    return params
+
+
+def import_simmim(sd: Mapping[str, Any], simmim) -> Dict[str, Any]:
+    """Reference SimMIMSpatialSpectral state dict (keys prefixed ``encoder.``)
+    → flax params for :class:`maskedsst_tpu.models.SimMIMSpatialSpectral`."""
+    enc_sd = {
+        k[len("encoder.") :]: v for k, v in sd.items() if k.startswith("encoder.")
+    }
+    params: Dict[str, Any] = {
+        "encoder": import_vit_spatial_spectral(enc_sd, simmim.encoder),
+        "mask_token": _np(sd["mask_token"]),
+    }
+    if simmim.to_pixels_per_spectral_block:
+        stacked = _stack_blockwise(
+            sd, "to_pixels.layers", simmim.encoder.num_spectral_patches
+        )
+        params["to_pixels"] = stacked
+    else:
+        params["to_pixels_linear"] = _linear(sd, "to_pixels")
+    return params
+
+
+def import_vit_rgb(sd: Mapping[str, Any], model) -> Dict[str, Any]:
+    """Reference ViTRGB state dict (src/vit_original.py:103-202) → flax params."""
+    params: Dict[str, Any] = {
+        "patch_pre_norm": _layernorm(sd, "to_patch_embedding.1"),
+        "patch_proj": _linear(sd, "to_patch_embedding.2"),
+        "patch_post_norm": _layernorm(sd, "to_patch_embedding.3"),
+        "pos_embedding": _np(sd["pos_embedding"]),
+        "cls_token": _np(sd["cls_token"]),
+        "transformer": _transformer(sd, "transformer", model.depth),
+        "head_norm": _layernorm(sd, "mlp_head.0"),
+        "head_linear": _linear(sd, "mlp_head.1"),
+    }
+    return params
+
+
+def load_pretrained_encoder(
+    checkpoint: Mapping[str, Any],
+    model,
+    fresh_params: Dict[str, Any],
+    patch_sub: int = 0,
+) -> Dict[str, Any]:
+    """Finetune-time import of a pre-training checkpoint with the reference's
+    key surgery (src/utils.py:276-313).
+
+    Args:
+      checkpoint: the loaded ``.pth`` dict (must contain ``model_state_dict``
+        with ``encoder.``-prefixed keys from the SimMIM wrapper).
+      model: the target ViTSpatialSpectral (finetune config).
+      fresh_params: freshly initialized params of ``model``; supplies the new
+        classification head (the pre-trained reconstruction-era head is
+        discarded, exactly like the reference deletes ``mlp_head.1`` and
+        re-installs the fresh weights).
+      patch_sub: rows to truncate from ``pos_embed`` when finetuning at
+        ``image_size - patch_sub``.
+
+    Returns:
+      params with pre-trained encoder weights and the fresh head.
+    """
+    sd = checkpoint["model_state_dict"]
+    enc_sd = {k[len("encoder.") :]: v for k, v in sd.items() if k.startswith("encoder.")}
+    params = import_vit_spatial_spectral(enc_sd, model)
+
+    if patch_sub != 0 and "pos_embed" in params:
+        want = model.num_spatial_patches
+        params["pos_embed"] = params["pos_embed"][:, :want, :]
+
+    # the pre-trained head Linear predicted reconstruction-era classes — use
+    # the freshly initialized one instead (reference deletes mlp_head.1.* and
+    # re-keys the fresh head at linear_idx 1 or 2). The head LayerNorm
+    # (mlp_head.0) is NOT swapped — it loads from the checkpoint, exactly as
+    # the reference's load_state_dict keeps it.
+    params["head_linear"] = fresh_params["head_linear"]
+    return params
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a ``.pth`` file into plain numpy-backed dicts (torch CPU)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    return blob

@@ -1,0 +1,260 @@
+"""Transformer building blocks with PyTorch-parity numerics.
+
+The reference uses a lucidrains-style pre-norm transformer
+(src/vit_spatial_spectral.py:22-104). For checkpoint-logits parity we pin:
+
+* LayerNorm epsilon 1e-5 (torch default; flax default is 1e-6),
+* exact (erf) GELU (torch default; flax ``nn.gelu`` default is tanh-approx),
+* attention: fused QKV projection without bias, per-head scale
+  ``dim_head**-0.5``, output projection with bias whenever
+  ``heads*dim_head != dim`` ("project_out").
+
+Compute dtype is configurable: bf16 for training throughput (params stay
+fp32), fp32 for parity harnesses. Attention softmax always runs in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch nn.LayerNorm epsilon
+LN_EPS = 1e-5
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm matching torch defaults (eps=1e-5, affine)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+
+
+class FeedForward(nn.Module):
+    """MLP block: Linear → exact GELU → dropout → Linear → dropout
+    (reference src/vit_spatial_spectral.py:32-44)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference src/vit_spatial_spectral.py:47-78).
+
+    Operates on [..., n, dim]; all leading axes are batch. The factorized
+    model folds the spectral (or spatial) token axis into the batch, so this
+    runs as a large batched matmul on the MXU rather than one long sequence.
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        inner_dim = self.heads * self.dim_head
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+        scale = self.dim_head**-0.5
+
+        qkv = nn.Dense(inner_dim * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):  # [..., n, h*dh] -> [..., h, n, dh]
+            t = t.reshape(*t.shape[:-1], self.heads, self.dim_head)
+            return jnp.swapaxes(t, -3, -2)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        logits = jnp.einsum(
+            "...nd,...md->...nm", q, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("...nm,...md->...nd", attn, v)
+        out = jnp.swapaxes(out, -3, -2)  # [..., n, h, dh]
+        out = out.reshape(*out.shape[:-2], inner_dim)
+
+        if project_out:
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm residual block: x + Attn(LN(x)); x + FF(LN(x))
+    (reference PreNorm + layer loop, src/vit_spatial_spectral.py:22-29,100-104)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="attn_norm")(x)
+        x = x + Attention(
+            self.dim, self.heads, self.dim_head, self.dropout, self.dtype, name="attn"
+        )(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ff_norm")(x)
+        x = x + FeedForward(
+            self.dim, self.mlp_dim, self.dropout, self.dtype, name="ff"
+        )(h, deterministic=deterministic)
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of ``depth`` pre-norm blocks (reference Transformer,
+    src/vit_spatial_spectral.py:81-104)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        for i in range(self.depth):
+            x = TransformerBlock(
+                self.dim,
+                self.heads,
+                self.dim_head,
+                self.mlp_dim,
+                self.dropout,
+                self.dtype,
+                name=f"layers_{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
+class BlockwisePatchEmbedding(nn.Module):
+    """Per-spectral-block linear patch embedding as one batched einsum.
+
+    The reference keeps ``num_blocks`` separate ``nn.Linear(patch_dim, dim)``
+    modules and loops over them in Python
+    (src/vit_spatial_spectral.py:203-222). On TPU that is ``num_blocks`` tiny
+    matmuls and a stack; here the weights live in a single
+    ``[num_blocks, patch_dim, dim]`` tensor contracted in one einsum, which
+    XLA tiles onto the MXU in one shot. The checkpoint importer stacks the
+    reference's per-block weights into this layout.
+
+    Input:  cube [B, C, H, W] with C = num_blocks * patch_depth.
+    Output: tokens [B, num_blocks * n_spatial, dim], block-major token order
+            (all spatial positions of block 0, then block 1, ...).
+    """
+
+    num_channels: int
+    dim: int
+    patch_depth: int
+    patch_height: int
+    patch_width: int
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def num_blocks(self) -> int:
+        return self.num_channels // self.patch_depth
+
+    @property
+    def patch_dim(self) -> int:
+        return self.patch_depth * self.patch_height * self.patch_width
+
+    def to_patch(self, x):
+        """[B, C, H, W] → patches [B, g, n, p]: g spectral blocks, n spatial
+        patches (row-major), p = patch_depth*patch_height*patch_width pixels,
+        ordered (p0, p1, p2) like the reference einops pattern
+        ``b (c p0) (h p1) (w p2) -> b c (h w) (p0 p1 p2)``."""
+        b, c, hh, ww = x.shape
+        g, p0 = self.num_blocks, self.patch_depth
+        p1, p2 = self.patch_height, self.patch_width
+        h, w = hh // p1, ww // p2
+        x = x.reshape(b, g, p0, h, p1, w, p2)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # b g h w p0 p1 p2
+        return x.reshape(b, g, h * w, p0 * p1 * p2)
+
+    @nn.compact
+    def embed(self, patches):
+        """patches [B, g, n, p] → tokens [B, g*n, dim]."""
+        patches = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="pre_norm")(patches)
+        kernel = self.param(
+            "blockwise_kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_blocks, self.patch_dim, self.dim),
+        )
+        bias = self.param(
+            "blockwise_bias", nn.initializers.zeros, (self.num_blocks, self.dim)
+        )
+        dtype = self.dtype or patches.dtype
+        tokens = jnp.einsum(
+            "bgnp,gpd->bgnd",
+            patches.astype(dtype),
+            kernel.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        tokens = tokens + bias.astype(dtype)[None, :, None, :]
+        b, g, n, d = tokens.shape
+        tokens = tokens.reshape(b, g * n, d)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="post_norm")(tokens)
+
+    def __call__(self, x):
+        return self.embed(self.to_patch(x))
+
+
+class PatchEmbed(nn.Module):
+    """Shared (non-blockwise) patch embedding
+    (reference PatchEmbed, src/vit_spatial_spectral.py:232-253):
+    ``to_patch`` = rearrange to [B, g*n, p] + LN(p); ``embed`` = Linear(p, dim)
+    + LN(dim). The pre-norm LN deliberately sits inside ``to_patch`` because
+    the SimMIM wrapper reconstructs the output of ``to_patch`` — with this
+    variant the reconstruction targets are layer-normed patches, unlike the
+    blockwise variant whose targets are raw pixels."""
+
+    dim: int
+    patch_depth: int
+    patch_height: int
+    patch_width: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def to_patch(self, x):
+        """[B, C, H, W] → layer-normed patches [B, g*n, p] (block-major,
+        same token order as the blockwise variant)."""
+        b, c, hh, ww = x.shape
+        p0, p1, p2 = self.patch_depth, self.patch_height, self.patch_width
+        g, h, w = c // p0, hh // p1, ww // p2
+        x = x.reshape(b, g, p0, h, p1, w, p2)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6)
+        x = x.reshape(b, g * h * w, p0 * p1 * p2)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="pre_norm")(x)
+
+    @nn.compact
+    def embed(self, patches):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(patches)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="post_norm")(x)
+
+    def __call__(self, x):
+        return self.embed(self.to_patch(x))

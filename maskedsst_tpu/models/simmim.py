@@ -1,0 +1,187 @@
+"""SimMIM-style masked pre-training objective for ViTSpatialSpectral.
+
+Reference: SimMIMSpatialSpectral (src/vit_simmim_original.py:139-340). The
+forward computes the masked-reconstruction loss of a batch of hyperspectral
+cubes:
+
+  tokenize → embed → add pos → replace masked tokens with a learned mask
+  token (+pos) → encode with the factorized transformer → predict the raw
+  pixels of the masked patches → L1.
+
+TPU redesign (same math, different dataflow):
+
+* masks are drawn on-device from a `jax.random` key (see
+  maskedsst_tpu/ops/masking.py) instead of host numpy loops;
+* the reference gathers the ``num_masked`` encoded tokens and dispatches them
+  through per-block decoders with a boolean-select python loop
+  (BlockwiseToPixels, :9-40). Here **all** tokens are decoded with one batched
+  einsum against a ``[blocks, dim, pixels]`` weight tensor — at reference
+  shapes that is ~14x fewer FLOPs than a one-hot blockwise gather-decode and
+  removes every dynamic gather from the hot loop — and the loss applies
+  weights that select exactly the reference's "first int(ratio*N) masked
+  positions" (ops/masking.loss_weights);
+* the loss normalization reproduces the reference quirk of dividing the
+  *mean* elementwise L1 by ``num_masked`` again (:338).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maskedsst_tpu.models.vit_spatial_spectral import ViTSpatialSpectral
+from maskedsst_tpu.ops.masking import MaskGenerator, loss_weights, random_token_mask
+
+
+class BlockwiseToPixels(nn.Module):
+    """Per-spectral-block linear decoder dim → pixels_per_patch, applied to all
+    tokens at once as one einsum (reference BlockwiseToPixels loops over
+    ``num_spectral_blocks`` Linears with boolean-select dispatch,
+    src/vit_simmim_original.py:9-40)."""
+
+    num_spectral_blocks: int
+    dim: int
+    pixels_per_patch: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens [B, g, n, d] → pixel predictions [B, g, n, p]; block g uses
+        decoder g."""
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_spectral_blocks, self.dim, self.pixels_per_patch),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_spectral_blocks, self.pixels_per_patch)
+        )
+        dtype = self.dtype or tokens.dtype
+        out = jnp.einsum(
+            "bgnd,gdp->bgnp",
+            tokens.astype(dtype),
+            kernel.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        return out + bias.astype(dtype)[None, :, None, :]
+
+
+class SimMIMSpatialSpectral(nn.Module):
+    """Args mirror the reference constructor
+    (src/vit_simmim_original.py:139-201). ``encoder`` is a constructed
+    ViTSpatialSpectral module."""
+
+    encoder: ViTSpatialSpectral
+    masking_ratio: float = 0.5
+    mask_patch_size: int = 1
+    tube_masking: bool = False
+    to_pixels_per_spectral_block: bool = False
+    intermediate_losses: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        assert 0 < self.masking_ratio < 1, "masking ratio must be in (0, 1)"
+        enc = self.encoder
+        self.pixel_values_per_patch = enc.pixels_per_patch
+        self.mask_token = self.param(
+            "mask_token", nn.initializers.normal(1.0), (enc.dim,)
+        )
+        if self.to_pixels_per_spectral_block:
+            self.to_pixels = BlockwiseToPixels(
+                num_spectral_blocks=enc.num_spectral_patches,
+                dim=enc.dim,
+                pixels_per_patch=self.pixel_values_per_patch,
+                dtype=self.dtype,
+            )
+        else:
+            self.to_pixels_linear = nn.Dense(
+                self.pixel_values_per_patch, dtype=self.dtype, name="to_pixels_linear"
+            )
+        if self.mask_patch_size != 1:
+            self.mask_generator = MaskGenerator(
+                input_size=_scalar(enc.image_size),
+                mask_patch_size=self.mask_patch_size,
+                model_patch_size=enc.patch_height,
+                mask_ratio=self.masking_ratio,
+            )
+
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        mask_rng: Optional[jnp.ndarray] = None,
+        bool_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """cube [B, C, H, W] → scalar reconstruction loss.
+
+        Masking randomness comes from ``mask_rng`` if given, else from the
+        flax 'mask' RNG stream (pass ``rngs={'mask': key}`` to ``apply``).
+        ``bool_mask`` [B, num_tokens] overrides the sampler entirely
+        (deterministic eval, parity harnesses).
+        """
+        enc = self.encoder
+        b = img.shape[0]
+        n_spatial = enc.num_spatial_patches
+        n_blocks = enc.num_spectral_patches
+        num_tokens = n_blocks * n_spatial
+
+        # --- tokenize (raw patches are the reconstruction targets) ---------
+        if enc.blockwise_patch_embed:
+            patches = enc.to_patch_embedding.to_patch(img)  # [B, g, n, p] raw
+            tokens = enc.to_patch_embedding.embed(patches)  # [B, g*n, d]
+        else:
+            flat = enc.to_patch_embedding.to_patch(img)  # [B, g*n, p] (LN'ed)
+            tokens = enc.to_patch_embedding.embed(flat)
+            patches = flat.reshape(b, n_blocks, n_spatial, -1)
+
+        pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
+        tokens = tokens + pos
+
+        # --- draw the mask on device ---------------------------------------
+        num_masked = int(self.masking_ratio * num_tokens)
+        if bool_mask is None:
+            if mask_rng is None:
+                mask_rng = self.make_rng("mask")
+            if self.mask_patch_size == 1:
+                bool_mask = random_token_mask(mask_rng, b, num_tokens, num_masked)
+            else:
+                bool_mask = self.mask_generator.batch_masks(
+                    mask_rng, b, n_blocks, self.tube_masking
+                )
+
+        # --- replace masked tokens with mask_token (+pos) ------------------
+        mask_tokens = self.mask_token.astype(tokens.dtype)[None, None, :] + pos
+        tokens = jnp.where(bool_mask[..., None], mask_tokens, tokens)
+
+        # --- encode ---------------------------------------------------------
+        encoded = enc.transformer_forward(tokens, deterministic=deterministic)
+        encoded = encoded.reshape(b, n_blocks, n_spatial, enc.dim)
+
+        # --- decode ALL tokens, weight the loss to the masked subset --------
+        if self.to_pixels_per_spectral_block:
+            preds = self.to_pixels(encoded)  # [B, g, n, p]
+        else:
+            preds = self.to_pixels_linear(encoded)
+
+        weights = loss_weights(bool_mask, num_masked)  # [B, g*n]
+        weights = weights.reshape(b, n_blocks, n_spatial)[..., None]
+
+        abs_err = jnp.abs(preds.astype(jnp.float32) - patches.astype(jnp.float32))
+        # reference: F.l1_loss(pred, target).mean over (B, num_masked, p)
+        # elements, then divided by num_masked again (:338)
+        denom = b * num_masked * self.pixel_values_per_patch
+        recon_loss = jnp.sum(abs_err * weights) / denom / num_masked
+        if self.intermediate_losses:
+            # reference V1 path sums the loss over [final, spatial, spectral]
+            # representations; its transformer_forward returns the final
+            # representation three times (src/vit_spatial_spectral.py:723-732),
+            # so the sum is exactly 3x the final loss. Reproduced as-is.
+            recon_loss = recon_loss * 3.0
+        return recon_loss
+
+
+def _scalar(size) -> int:
+    return size if isinstance(size, int) else size[0]

@@ -1,0 +1,31 @@
+"""Import the upstream PyTorch reference (read-only at /root/reference) as a
+numerical oracle for parity tests. Nothing from the reference is vendored into
+the framework — tests call it to produce state dicts and golden outputs.
+
+Skipped automatically when the reference tree or torch is unavailable.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+
+def load_reference():
+    """Returns the reference modules (vit_spatial_spectral, vit_simmim_original,
+    pos_embed) or skips the calling test."""
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    if not hasattr(np, "float"):
+        np.float = float  # reference pos_embed.py uses the removed alias
+    try:
+        import torch  # noqa: F401
+        from src import pos_embed as ref_pos_embed
+        from src import vit_spatial_spectral as ref_vss
+        from src import vit_simmim_original as ref_simmim
+        from src import vit_original as ref_vit_original
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference oracle unavailable: {exc}")
+    return ref_pos_embed, ref_vss, ref_simmim, ref_vit_original
