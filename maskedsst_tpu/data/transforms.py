@@ -1,0 +1,63 @@
+"""Normalization and label transforms as pure numpy functions.
+
+Reference classes (src/data_enmap.py:312-585, src/data_houston2018.py:332-465)
+are callables over numpy/torch arrays; here they are stateless functions so
+they can run either on the host pipeline or, via jnp, fused on-device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from maskedsst_tpu.data import constants as C
+
+
+# --- EnMAP ------------------------------------------------------------------
+
+def standardize_enmap(x: np.ndarray, use_clipped: bool = True) -> np.ndarray:
+    """Band-wise (x - mean) / std over the 200 valid bands
+    (StandardizeEnMAP, src/data_enmap.py:454-457)."""
+    means = C.ENMAP_MEANS_CLIPPED if use_clipped else C.ENMAP_MEANS
+    stds = C.ENMAP_STDS_CLIPPED if use_clipped else C.ENMAP_STDS
+    return (x - means[:, None, None]) / stds[:, None, None]
+
+
+def unstandardize_enmap(x: np.ndarray, use_clipped: bool = True) -> np.ndarray:
+    means = C.ENMAP_MEANS_CLIPPED if use_clipped else C.ENMAP_MEANS
+    stds = C.ENMAP_STDS_CLIPPED if use_clipped else C.ENMAP_STDS
+    return x * stds[:, None, None] + means[:, None, None]
+
+
+def worldcover_label_transform(x: np.ndarray) -> np.ndarray:
+    """ESA WorldCover codes {0,10..100} → train ids {-1, 0..10}
+    (WorldCoverLabelTransform, src/data_enmap.py:524-551)."""
+    x = x.astype(np.int64).copy()
+    x[x == 100] = 11
+    x[x == 90] = 10
+    return x // 10 - 1
+
+
+def dfc_label_transform(x: np.ndarray) -> np.ndarray:
+    """DFC2020 codes 1..10 → train ids with classes 3 (Savanna) and
+    8 (Snow/Ice) mapped to -1 and the rest compacted to 0..7
+    (DFCLabelTransform, src/data_enmap.py:553-580)."""
+    x = x.astype(np.int64).copy()
+    x[x == 3] = 0
+    x[x == 8] = 0
+    x[x >= 3] -= 1
+    x[x >= 8] -= 1
+    return x - 1
+
+
+# --- Houston2018 ------------------------------------------------------------
+
+def standardize_houston2018(x: np.ndarray) -> np.ndarray:
+    """Band-wise standardization of the 48 CASI bands
+    (StandardizeHouston2018, src/data_houston2018.py:442-445)."""
+    return (x - C.HOUSTON2018_MEANS[:, None, None]) / C.HOUSTON2018_STDS[:, None, None]
+
+
+def houston2018_label_transform(x: np.ndarray) -> np.ndarray:
+    """Class 0 (unclassified) → -1; classes shift to 0..19
+    (Houston2018LabelTransform, src/data_houston2018.py:454-465)."""
+    return x.astype(np.int64) - 1

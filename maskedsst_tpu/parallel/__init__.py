@@ -1,0 +1,6 @@
+from maskedsst_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    get_mesh,
+    replicate,
+    shard_batch,
+)

@@ -1,0 +1,58 @@
+"""Device mesh and sharding helpers.
+
+The reference has no distributed code at all (single ``torch.device``,
+SURVEY.md §2.3); the TPU-native scaling story is data parallelism over ICI:
+a 1-D ``Mesh(('data',))`` over all local chips, batches sharded on axis 0,
+parameters/optimizer state replicated. The jitted train step then compiles to
+per-chip fwd+bwd with an XLA ``psum`` gradient all-reduce over ICI — no
+NCCL-style process groups, no explicit collectives in user code.
+
+The model at reference scale (~1.8 M params) never needs parameter sharding;
+a ``model`` mesh axis is still accepted for forward-compatible 2-D meshes
+(tensor-parallel experiments), mapped over attention heads.
+
+Multi-host extension: call ``jax.distributed.initialize()`` before
+``get_mesh`` and per-host input pipelines feed their local shard
+(SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    devices: Optional[Sequence] = None,
+    data_axis: Optional[int] = None,
+    model_axis: int = 1,
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices, optionally 2-D
+    with a trailing ``model`` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data_axis is None:
+        data_axis = len(devices) // model_axis
+    assert data_axis * model_axis == len(devices), (
+        f"{data_axis=} * {model_axis=} != {len(devices)=}"
+    )
+    arr = np.asarray(devices).reshape(data_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over the ``data`` mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (params, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays) onto the mesh, sharded on axis 0."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

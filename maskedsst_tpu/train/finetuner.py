@@ -1,0 +1,338 @@
+"""Supervised finetuning / linear-eval loop (reference finetune.py:40-222,
+src/utils.py:477-663).
+
+One jitted ``train_step(state, img, label) -> (state, metrics)`` with the
+same on-device structure as pretraining: optional random crop (or
+shifting-window tiling) of 64x64 tiles, center-pixel label extraction for
+pixelwise/li models, cross-entropy with ignored labels, micro+macro accuracy,
+Adam update with split head/backbone LRs — batch sharded over the mesh's
+``data`` axis.
+
+Validation reproduces the reference's sliding-window evaluation over 64x64
+tiles but vectorizes all windows into one forward and averages over *all*
+windows. (The reference's metric bookkeeping only records the last window of
+each batch — the append sits outside the window loops, src/utils.py:569-571;
+that accounting quirk is deliberately not replicated.)
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskedsst_tpu.config import Config
+from maskedsst_tpu.data.pipeline import DataLoader
+from maskedsst_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+from maskedsst_tpu.train.checkpoint import save_checkpoint
+from maskedsst_tpu.train.losses import cross_entropy
+from maskedsst_tpu.train.metrics import macro_accuracy, micro_accuracy
+from maskedsst_tpu.train.optim import (
+    ReduceLROnPlateau,
+    build_optimizer,
+    get_learning_rates,
+)
+from maskedsst_tpu.train.train_state import TrainState
+from maskedsst_tpu.utils.tracking import Throughput, Tracker
+
+
+def get_val_epochs(config: Config, steps_per_epoch: int) -> list:
+    """Validation epochs (reference get_val_epochs, src/utils.py:432-448):
+    when the epoch budget dominates, validate every epoch; when max_steps
+    dominates, spread ``epoch`` validations evenly over the longer run."""
+    total_steps = steps_per_epoch * config.epoch
+    if total_steps > config.max_steps:
+        return list(range(config.epoch))
+    total_epochs = config.max_steps // max(steps_per_epoch, 1)
+    return sorted(set(int(e) for e in np.linspace(0, total_epochs, config.epoch)))
+
+
+def head_label_fn(path: tuple) -> bool:
+    """Marks classifier-head params (ViT heads and the zoo's ``fc`` layers);
+    mirrors the reference's name-based split on ``mlp_head`` / ``fc``
+    (finetune.py:103,121-126)."""
+    return any(str(k).startswith(("head_", "mlp_head", "fc")) for k in path)
+
+
+class Finetuner:
+    def __init__(
+        self,
+        config: Config,
+        model,
+        mesh=None,
+        params=None,
+        center_pixel: bool = False,
+        add_channel_dim: bool = False,
+        optimizer_override: Optional[dict] = None,
+        class_weights: Optional[np.ndarray] = None,
+        tile_size: int = 64,
+    ):
+        self.config = config
+        self.model = model
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.center_pixel = center_pixel
+        self.add_channel_dim = add_channel_dim
+        self.tile_size = tile_size
+        self.class_weights = None if class_weights is None else jnp.asarray(class_weights)
+
+        opt = dict(
+            name="Adam",
+            learning_rate=config.lr,
+            weight_decay=config.weight_decay,
+            head_lr=config.get("mlp_head_lr"),
+            head_label_fn=head_label_fn,
+            linear_eval=bool(config.get("linear_eval", False)),
+        )
+        if optimizer_override:
+            opt.update(optimizer_override)
+        if opt["linear_eval"]:
+            opt["head_lr"] = None  # linear eval trains the head at the base lr
+        tx = build_optimizer(
+            opt.pop("name"), opt.pop("learning_rate"), opt.pop("weight_decay"), **opt
+        )
+
+        rng = jax.random.PRNGKey(config.get("seed", 5))
+        if params is None:
+            size = config.image_size - config.get("patch_sub", 0)
+            shape = (
+                (1, 1, config.n_bands, size, size)
+                if add_channel_dim
+                else (1, config.n_bands, size, size)
+            )
+            params = model.init(rng, jnp.zeros(shape, jnp.float32), deterministic=True)["params"]
+        self.state = TrainState.create(params, tx, jax.random.fold_in(rng, 1))
+        self.state = jax.device_put(self.state, replicate(self.mesh))
+        self.num_params = sum(p.size for p in jax.tree.leaves(params))
+        self.scheduler = ReduceLROnPlateau(factor=0.9, patience=5)
+
+        self._replicated = replicate(self.mesh)
+        self._batch_shard = batch_sharding(self.mesh)
+        crop = config.image_size != tile_size and config.dataset in ("dfc", "worldcover")
+        self._train_step = jax.jit(
+            partial(
+                self._step,
+                crop=crop,
+                shifting_window=bool(config.get("shifting_window", False)),
+            ),
+            in_shardings=(self._replicated, self._batch_shard, self._batch_shard),
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
+        )
+        self._eval_windows = crop
+        self._eval_step = jax.jit(
+            partial(self._eval, windows=self._eval_windows),
+            in_shardings=(self._replicated, self._batch_shard, self._batch_shard),
+            out_shardings=self._replicated,
+        )
+
+    # --- jitted bodies ------------------------------------------------------
+    def _forward_loss(self, params, img, label, dropout_rng, train: bool):
+        if self.add_channel_dim:
+            img = img[:, None]  # li 3D-CNN input layout (utils.py:637-638)
+        rngs = {"dropout": dropout_rng} if train else {}
+        logits = self.model.apply(
+            {"params": params}, img, deterministic=not train, rngs=rngs
+        )
+        loss = cross_entropy(
+            logits, label, ignore_index=self.config.ignored_label, weight=self.class_weights
+        )
+        return loss, logits
+
+    def _prep(self, img, label, rng, *, crop: bool, shifting_window: bool):
+        s = self.config.image_size - self.config.get("patch_sub", 0)
+        if crop and shifting_window:
+            # tile into non-overlapping s×s patches stacked on batch
+            # (stack_image_batch, src/utils.py:451-474)
+            b, c = img.shape[0], img.shape[1]
+            k = img.shape[2] // s
+            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
+            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
+            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
+            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+        elif crop:
+            # one random crop per batch (utils.py:614-628)
+            hi = max(self.tile_size - self.config.image_size - self.config.get("patch_sub", 0), 1)
+            xy = jax.random.randint(rng, (2,), 0, hi)
+            img = jax.lax.dynamic_slice(
+                img, (0, 0, xy[0], xy[1]), (img.shape[0], img.shape[1], s, s)
+            )
+            label = jax.lax.dynamic_slice(
+                label, (0, xy[0], xy[1]), (label.shape[0], s, s)
+            )
+        if self.center_pixel and label.ndim == 3:
+            center = s // 2
+            label = label[:, center, center]  # utils.py:630-634
+        return img, label
+
+    def _step(self, state: TrainState, img, label, *, crop: bool, shifting_window: bool):
+        rng, crop_rng, drop_rng = jax.random.split(state.rng, 3)
+        img, label = self._prep(img, label, crop_rng, crop=crop, shifting_window=shifting_window)
+        (loss, logits), grads = jax.value_and_grad(self._forward_loss, has_aux=True)(
+            state.params, img, label, drop_rng, True
+        )
+        state = state.apply_gradients(grads).replace(rng=rng)
+        pred = jnp.argmax(logits, axis=1)
+        metrics = {
+            "loss": loss,
+            "acc": micro_accuracy(pred, label, self.config.ignored_label),
+            "macro_acc": macro_accuracy(
+                pred, label, self.config.n_classes, self.config.ignored_label
+            ),
+        }
+        return state, metrics
+
+    def _eval(self, state: TrainState, img, label, *, windows: bool):
+        s = self.config.image_size - self.config.get("patch_sub", 0)
+        if windows:
+            b, c = img.shape[0], img.shape[1]
+            k = self.tile_size // s
+            # windows at stride s covering k*k positions (utils.py:503-517)
+            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
+            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
+            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
+            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+        if self.center_pixel and label.ndim == 3:
+            center = s // 2
+            label = label[:, center, center]
+        loss, logits = self._forward_loss(state.params, img, label, state.rng, False)
+        pred = jnp.argmax(logits, axis=1)
+        return {
+            "loss": loss,
+            "acc": micro_accuracy(pred, label, self.config.ignored_label),
+            "macro_acc": macro_accuracy(
+                pred, label, self.config.n_classes, self.config.ignored_label
+            ),
+        }
+
+    # --- loop ---------------------------------------------------------------
+    def fit(
+        self,
+        train_dataset,
+        val_dataset,
+        tracker: Optional[Tracker] = None,
+        models_dir: str = "models",
+        save_checkpoints: bool = True,
+        epochs: Optional[int] = None,
+        max_steps: Optional[int] = None,
+    ) -> dict:
+        cfg = self.config
+        tracker = tracker or Tracker("downstream", cfg, use_wandb=None)
+        cfg.run_id = tracker.run_id
+        cfg.num_params = self.num_params
+        tracker.update_config(cfg)
+        run_dir = os.path.join(models_dir, str(cfg.run_id))
+        if save_checkpoints:
+            os.makedirs(run_dir, exist_ok=True)
+
+        n_data = self.mesh.shape["data"]
+        assert cfg.batch_size % n_data == 0 or cfg.batch_size < n_data, (
+            f"{cfg.batch_size=} not divisible by data-parallel degree {n_data}"
+        )
+        # pad the trailing batch to the FULL batch size: a single static shape
+        # per step avoids XLA recompiles (padded samples carry ignored labels,
+        # so losses/metrics exclude them)
+        loader = DataLoader(
+            train_dataset,
+            cfg.batch_size,
+            shuffle=True,
+            drop_last=False,
+            seed=cfg.get("seed", 5),
+            pad_to_multiple=max(cfg.batch_size, n_data),
+            pad_label_value=cfg.ignored_label,
+        )
+        val_bs = cfg.get("val_batch_size", cfg.batch_size)
+        val_loader = DataLoader(
+            val_dataset,
+            val_bs,
+            shuffle=False,
+            drop_last=False,
+            pad_to_multiple=max(val_bs, n_data),
+            pad_label_value=cfg.ignored_label,
+        )
+
+        epoch_budget = epochs if epochs is not None else cfg.epoch
+        step_budget = max_steps if max_steps is not None else cfg.max_steps
+        validation_epochs = set(get_val_epochs(cfg, max(len(loader), 1)))
+
+        meter = Throughput(cfg.batch_size, num_chips=self.mesh.devices.size)
+        meter.start()
+        history = {"train": [], "val": [], "best_val_acc": 0.0}
+        best_val_acc = 0.0
+        step, epoch = 0, 0
+
+        # run until BOTH budgets are exhausted (finetune.py:170)
+        while epoch < epoch_budget + 1 or step < step_budget + 1:
+            for batch in loader:
+                img = jnp.asarray(batch["img"])
+                label = jnp.asarray(batch["label"])
+                self.state, metrics = self._train_step(self.state, img, label)
+                step += 1
+                meter.tick()
+                if step % cfg.logging_freq == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    tracker.log(
+                        {
+                            "epoch": epoch,
+                            **m,
+                            "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
+                            **meter.stats(),
+                        },
+                        step=step,
+                    )
+            history["train"].append({k: float(v) for k, v in metrics.items()})
+
+            if epoch in validation_epochs or epoch == epoch_budget:
+                vals = []
+                for batch in val_loader:
+                    out = self._eval_step(
+                        self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
+                    )
+                    vals.append({k: float(v) for k, v in out.items()})
+                if vals:
+                    mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+                    tracker.log(
+                        {
+                            "epoch": epoch,
+                            "val_loss": mean["loss"],
+                            "val_acc": mean["acc"],
+                            "val_macro_acc": mean["macro_acc"],
+                        },
+                        step=step,
+                    )
+                    history["val"].append(mean)
+                    self.state = self.state.replace(
+                        opt_state=self.scheduler.update(self.state.opt_state, mean["loss"])
+                    )
+                    save_now = (
+                        epoch == epoch_budget
+                        or epoch in cfg.get("checkpoint_save_epochs", [])
+                    )
+                    if save_checkpoints and save_now:
+                        save_checkpoint(
+                            os.path.join(run_dir, f"{cfg.method_name}_at_ep{epoch}.msgpack"),
+                            self.state,
+                            cfg,
+                            extra={"epoch": epoch},
+                        )
+                    if mean["acc"] > best_val_acc:
+                        best_val_acc = mean["acc"]
+                        history["best_val_acc"] = best_val_acc
+                        if save_checkpoints:
+                            save_checkpoint(
+                                os.path.join(run_dir, f"best_{cfg.method_name}.msgpack"),
+                                self.state,
+                                cfg,
+                                extra={"epoch": epoch, "val_acc": best_val_acc},
+                            )
+            epoch += 1
+            if epoch >= epoch_budget + 1 and step >= step_budget + 1:
+                break
+            if len(loader) == 0:
+                break
+
+        history["throughput"] = meter.stats()
+        return history

@@ -1,0 +1,277 @@
+"""SimMIM masked pre-training loop (reference driver pretrain.py:30-197).
+
+TPU-native structure: ONE jitted ``train_step(state, tiles) -> (state,
+metrics)`` containing random crop + mask sampling + fwd + bwd + AdamW update,
+with the batch sharded over the ``data`` mesh axis and params replicated —
+XLA inserts the gradient ``psum`` over ICI. Buffers are donated, so params
+and optimizer state update in place in HBM.
+
+Differences from the reference worth knowing:
+* the random 8x8 crop of each 64x64 tile happens on-device via
+  ``dynamic_slice`` from the carried RNG (reference crops on the host with a
+  single (x, y) per batch, pretrain.py:99-107 — same distribution here);
+* the NaN guard checks metrics at logging frequency instead of a blocking
+  per-step device sync (raises like pretrain.py:113-114);
+* checkpoints carry the full TrainState (resume-exact), not just weights.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskedsst_tpu.config import Config
+from maskedsst_tpu.data.pipeline import DataLoader, split_dataset
+from maskedsst_tpu.models import SimMIMSpatialSpectral, ViTSpatialSpectral
+from maskedsst_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+from maskedsst_tpu.train.checkpoint import save_checkpoint
+from maskedsst_tpu.train.optim import (
+    CosineAnnealingLR,
+    ReduceLROnPlateau,
+    build_optimizer,
+    get_learning_rates,
+)
+from maskedsst_tpu.train.train_state import TrainState
+from maskedsst_tpu.utils.tracking import Throughput, Tracker
+
+
+def build_pretrain_model(config: Config, dtype=None) -> SimMIMSpatialSpectral:
+    """Encoder + SimMIM wrapper from a merged pretrain config
+    (pretrain.py:40-67)."""
+    assert config.encoder_name == "ViTSpatialSpectral", (
+        f"encoder {config.encoder_name} not available"
+    )
+    encoder = ViTSpatialSpectral(
+        image_size=config.image_size,
+        spatial_patch_size=config.patch_size,
+        spectral_patch_size=config.band_patch_size,
+        num_classes=config.n_classes,
+        dim=config.transformer_dim,
+        depth=config.transformer_depth,
+        heads=config.transformer_n_heads,
+        mlp_dim=config.transformer_mlp_dim,
+        dropout=config.transformer_dropout,
+        emb_dropout=config.transformer_emb_dropout,
+        channels=config.n_bands,
+        spectral_pos_embed=config.spectral_pos_embed,
+        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
+        blockwise_patch_embed=config.blockwise_patch_embed,
+        spectral_only=config.spectral_only,
+        dtype=dtype,
+    )
+    return SimMIMSpatialSpectral(
+        encoder=encoder,
+        masking_ratio=config.mim_masking_ratio,
+        mask_patch_size=config.mim_mask_patch_size,
+        tube_masking=config.tube_masking,
+        to_pixels_per_spectral_block=config.to_pixels_per_spectral_block,
+        intermediate_losses=config.mim_intermediate_losses,
+        dtype=dtype,
+    )
+
+
+class Pretrainer:
+    def __init__(
+        self,
+        config: Config,
+        mesh=None,
+        dtype: Optional[jnp.dtype] = None,
+        tile_size: int = 64,
+    ):
+        self.config = config
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.tile_size = tile_size
+        self.model = build_pretrain_model(config, dtype=dtype)
+
+        tx = build_optimizer(
+            config.optimizer,
+            config.lr,
+            config.weight_decay,
+            grad_clamp=1.0 if config.get("clip_grad_norm") else None,
+        )
+        rng = jax.random.PRNGKey(config.get("seed", 5))
+        init_rng, state_rng = jax.random.split(rng)
+        sample = jnp.zeros(
+            (1, config.n_bands, config.image_size, config.image_size), jnp.float32
+        )
+        params = self.model.init(
+            {"params": init_rng, "mask": jax.random.PRNGKey(0)},
+            sample,
+            deterministic=True,
+        )["params"]
+        self.state = TrainState.create(params, tx, state_rng)
+        self.state = jax.device_put(self.state, replicate(self.mesh))
+        self.num_params = sum(p.size for p in jax.tree.leaves(params))
+
+        if config.scheduler == "ReduceLROnPlateau":
+            self.scheduler = ReduceLROnPlateau(factor=0.9, patience=5)
+        elif config.scheduler == "cosine":
+            self.scheduler = CosineAnnealingLR(config.lr, t_max=50)
+        else:
+            self.scheduler = None
+
+        self._batch_shard = batch_sharding(self.mesh)
+        self._replicated = replicate(self.mesh)
+        crop = config.image_size != tile_size and config.dataset in ("dfc", "enmap")
+        self._train_step = jax.jit(
+            partial(self._step, crop=crop, train=True),
+            in_shardings=(self._replicated, self._batch_shard),
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
+        )
+        self._val_step = jax.jit(
+            partial(self._step_val),
+            in_shardings=(self._replicated, self._batch_shard, None),
+            out_shardings=self._replicated,
+        )
+
+    # --- jitted bodies ------------------------------------------------------
+    def _loss(self, params, img, mask_rng, dropout_rng, train: bool):
+        return self.model.apply(
+            {"params": params},
+            img,
+            deterministic=not train,
+            mask_rng=mask_rng,
+            rngs={"dropout": dropout_rng} if train else {},
+        )
+
+    def _step(self, state: TrainState, tiles, *, crop: bool, train: bool):
+        rng, crop_rng, mask_rng, drop_rng = jax.random.split(state.rng, 4)
+        s = self.config.image_size
+        if crop:
+            # one random (x, y) for the whole batch, like pretrain.py:99-107
+            xy = jax.random.randint(crop_rng, (2,), 0, self.tile_size - s)
+            img = jax.lax.dynamic_slice(
+                tiles,
+                (0, 0, xy[0], xy[1]),
+                (tiles.shape[0], tiles.shape[1], s, s),
+            )
+        else:
+            img = tiles[:, :, :s, :s]
+
+        loss, grads = jax.value_and_grad(self._loss)(
+            state.params, img, mask_rng, drop_rng, train
+        )
+        state = state.apply_gradients(grads).replace(rng=rng)
+        gnorm = optax_global_norm(grads)
+        return state, {"loss": loss, "grad_norm": gnorm}
+
+    def _step_val(self, state: TrainState, tiles, mask_rng):
+        """Sliding window (stride = window) over the tile, one batched forward
+        per epoch-val batch (pretrain.py:166-184 loops windows serially;
+        vectorizing over windows is loss-equivalent because all windows have
+        the same element count)."""
+        s = self.config.image_size
+        b, c = tiles.shape[0], tiles.shape[1]
+        k = self.tile_size // s
+        windows = tiles[:, :, : k * s, : k * s]
+        windows = windows.reshape(b, c, k, s, k, s)
+        windows = windows.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
+        return self._loss(state.params, windows, mask_rng, mask_rng, train=False)
+
+    # --- loop ---------------------------------------------------------------
+    def fit(
+        self,
+        dataset,
+        epochs: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        tracker: Optional[Tracker] = None,
+        models_dir: str = "models",
+        save_checkpoints: bool = True,
+    ) -> dict:
+        cfg = self.config
+        tracker = tracker or Tracker("enmap-mim-spatial-spectral", cfg, use_wandb=None)
+        cfg.run_id = tracker.run_id
+        cfg.model_params = self.num_params
+        tracker.update_config(cfg)
+        run_dir = os.path.join(models_dir, str(cfg.run_id))
+        if save_checkpoints:
+            os.makedirs(run_dir, exist_ok=True)
+
+        val_ds, train_ds = split_dataset(
+            dataset, cfg.train_fraction, cfg.data_fraction, cfg.get("seed", 5)
+        )
+        loader = DataLoader(
+            train_ds, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.get("seed", 5)
+        )
+        val_loader = DataLoader(
+            val_ds, cfg.batch_size, shuffle=False, drop_last=True, seed=0
+        )
+
+        epochs = epochs if epochs is not None else cfg.epoch
+        meter = Throughput(cfg.batch_size, num_chips=self.mesh.devices.size)
+        meter.start()
+        step = 0
+        losses: list = []
+        model_save_freq = cfg.model_save_freq
+        history = {"train_loss": [], "val_loss": []}
+
+        for epoch in range(epochs):
+            for batch in loader:
+                tiles = jnp.asarray(batch["img"])
+                self.state, metrics = self._train_step(self.state, tiles)
+                step += 1
+                meter.tick()
+                if step % cfg.logging_freq == 0:
+                    loss = float(metrics["loss"])
+                    if np.isnan(loss):
+                        raise ValueError("Loss is NaN")
+                    losses.append(loss)
+                    tracker.log(
+                        {
+                            "epoch": epoch,
+                            "loss": loss,
+                            "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
+                            **meter.stats(),
+                        },
+                        step=step,
+                    )
+                if max_steps is not None and step >= max_steps:
+                    break
+            history["train_loss"].append(float(metrics["loss"]))
+
+            if save_checkpoints and epoch % model_save_freq == 0:
+                save_checkpoint(
+                    os.path.join(run_dir, f"model_{cfg.encoder_name}_ep{epoch}.msgpack"),
+                    self.state,
+                    cfg,
+                    extra={"epoch": epoch},
+                )
+                if epoch == 10 and model_save_freq == 1:
+                    model_save_freq = 10  # pretrain.py:150-151
+
+            if not cfg.get("skip_val", False):
+                val_losses = []
+                for vi, batch in enumerate(val_loader):
+                    tiles = jnp.asarray(batch["img"])
+                    vloss = self._val_step(
+                        self.state, tiles, jax.random.fold_in(jax.random.PRNGKey(7), epoch * 10000 + vi)
+                    )
+                    val_losses.append(float(vloss))
+                if val_losses:
+                    val_loss = float(np.mean(val_losses))
+                    history["val_loss"].append(val_loss)
+                    tracker.log({"epoch": epoch, "val_loss": val_loss}, step=step)
+                    if isinstance(self.scheduler, ReduceLROnPlateau):
+                        self.state = self.state.replace(
+                            opt_state=self.scheduler.update(self.state.opt_state, val_loss)
+                        )
+            if isinstance(self.scheduler, CosineAnnealingLR):
+                self.state = self.state.replace(
+                    opt_state=self.scheduler.update(self.state.opt_state)
+                )
+            if max_steps is not None and step >= max_steps:
+                break
+
+        history["throughput"] = meter.stats()
+        return history
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))

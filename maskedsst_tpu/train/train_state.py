@@ -1,0 +1,46 @@
+"""Full training state as a single pytree.
+
+Unlike the reference — which checkpoints only ``model_state_dict`` and can
+never truly resume (no optimizer/scheduler/step state saved, SURVEY.md §5.4)
+— the state here carries params, optimizer state, step counter and the RNG
+key, so a restart is bit-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation, rng: jax.Array) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            rng=rng,
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+    def next_rng(self) -> tuple:
+        """Split the carried key; returns (new_state, fresh_key)."""
+        rng, sub = jax.random.split(self.rng)
+        return self.replace(rng=rng), sub

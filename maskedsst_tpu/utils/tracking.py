@@ -1,0 +1,101 @@
+"""Experiment tracking and throughput metering.
+
+The reference logs step-keyed scalars to wandb (pretrain.py:122-130,
+finetune.py:190-202, SURVEY.md §5.5). Here wandb is optional: when
+importable and ``WANDB_MODE`` is not disabled the same projects/keys are
+used; otherwise scalars go to stdout (and a JSONL file if requested). A
+lightweight cubes/sec meter covers the BASELINE.md throughput metric —
+the reference has no profiling at all (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class Tracker:
+    def __init__(
+        self,
+        project: str,
+        config: Optional[Any] = None,
+        use_wandb: Optional[bool] = None,
+        jsonl_path: Optional[str] = None,
+        quiet: bool = False,
+    ):
+        self.project = project
+        self.quiet = quiet
+        self.jsonl_path = jsonl_path
+        self._wandb = None
+        self.run_id = f"local-{int(time.time())}"
+        if use_wandb is None:
+            use_wandb = os.environ.get("WANDB_MODE", "disabled") not in ("disabled", "offline")
+        if use_wandb:
+            try:
+                import wandb
+
+                cfg = config.to_dict() if hasattr(config, "to_dict") else config
+                run = wandb.init(project=project, config=cfg, save_code=True)
+                self._wandb = wandb
+                self.run_id = run.id
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: Dict[str, Any], step: int) -> None:
+        metrics = {k: _to_float(v) for k, v in metrics.items()}
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps({"step": step, **metrics}) + "\n")
+        if not self.quiet and self._wandb is None:
+            msg = " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in metrics.items())
+            print(f"[{self.project}] step {step}: {msg}", flush=True)
+
+    def update_config(self, config: Any) -> None:
+        if self._wandb is not None:
+            cfg = config.to_dict() if hasattr(config, "to_dict") else config
+            self._wandb.config.update(cfg, allow_val_change=True)
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class Throughput:
+    """Sliding steps/sec + items/sec meter (cubes/sec/chip for BASELINE.md)."""
+
+    def __init__(self, items_per_step: int, num_chips: int = 1):
+        self.items_per_step = items_per_step
+        self.num_chips = max(num_chips, 1)
+        self._t0: Optional[float] = None
+        self._steps = 0
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+        self._steps = 0
+
+    def tick(self, n: int = 1) -> None:
+        if self._t0 is None:
+            self.start()
+        self._steps += n
+
+    def stats(self) -> Dict[str, float]:
+        if self._t0 is None or self._steps == 0:
+            return {}
+        dt = time.perf_counter() - self._t0
+        sps = self._steps / dt
+        return {
+            "steps_per_sec": sps,
+            "items_per_sec": sps * self.items_per_step,
+            "items_per_sec_per_chip": sps * self.items_per_step / self.num_chips,
+        }
+
+
+def _to_float(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v

@@ -1,0 +1,256 @@
+"""Training-layer tests: optimizers, schedulers, losses, metrics, pipeline,
+and end-to-end tiny pretrain/finetune smokes on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskedsst_tpu.config import get_finetune_config, get_pretrain_config
+from maskedsst_tpu.data.pipeline import DataLoader, split_dataset, torch_exact_permutation
+from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+from maskedsst_tpu.models import ViTSpatialSpectral
+from maskedsst_tpu.train.losses import cross_entropy
+from maskedsst_tpu.train.metrics import (
+    classification_report,
+    confusion_matrix,
+    macro_accuracy,
+    micro_accuracy,
+)
+from maskedsst_tpu.train.optim import (
+    ReduceLROnPlateau,
+    build_optimizer,
+    get_learning_rates,
+    set_learning_rate,
+)
+
+TINY = dict(
+    n_bands=40,
+    transformer_dim=24,
+    transformer_depth=2,
+    transformer_n_heads=2,
+    transformer_mlp_dim=16,
+)
+
+
+def _tiny_cfg(cfg):
+    for k, v in TINY.items():
+        setattr(cfg, k, v)
+    cfg.batch_size = 8
+    cfg.logging_freq = 1000
+    return cfg
+
+
+# --- losses / metrics -------------------------------------------------------
+
+def test_cross_entropy_matches_torch():
+    import torch
+
+    logits = np.random.default_rng(0).standard_normal((6, 5, 3, 3)).astype(np.float32)
+    labels = np.random.default_rng(1).integers(-1, 5, size=(6, 3, 3))
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), ignore_index=-1))
+    theirs = float(
+        torch.nn.CrossEntropyLoss(ignore_index=-1)(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_cross_entropy_weighted_matches_torch():
+    import torch
+
+    w = np.array([1.0, 0.5, 2.0, 1.0, 0.0], np.float32)
+    logits = np.random.default_rng(0).standard_normal((10, 5)).astype(np.float32)
+    labels = np.random.default_rng(1).integers(0, 5, size=(10,))
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), weight=jnp.asarray(w)))
+    theirs = float(
+        torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w))(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_macro_accuracy_matches_torchmetrics():
+    try:
+        from torchmetrics import Accuracy
+        import torch
+    except Exception:
+        pytest.skip("torchmetrics unavailable")
+    n_classes = 5
+    pred = np.random.default_rng(0).integers(0, n_classes, size=(200,))
+    label = np.random.default_rng(1).integers(0, n_classes, size=(200,))
+    ours = float(macro_accuracy(jnp.asarray(pred), jnp.asarray(label), n_classes))
+    acc = Accuracy("multiclass", num_classes=n_classes, average="macro")
+    theirs = float(acc(torch.from_numpy(pred), torch.from_numpy(label)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_micro_accuracy_ignores_labels():
+    pred = jnp.array([0, 1, 2, 2])
+    label = jnp.array([0, 1, -1, 0])
+    assert float(micro_accuracy(pred, label)) == pytest.approx(2 / 3)
+
+
+def test_classification_report():
+    pred = jnp.array([0, 0, 1, 1, 2, 2])
+    label = jnp.array([0, 1, 1, 1, 2, 0])
+    cm = confusion_matrix(pred, label, 3)
+    rep = classification_report(cm)
+    assert float(rep["accuracy"]) == pytest.approx(100 * 4 / 6)
+    assert rep["confusion_matrix"].shape == (3, 3)
+    assert 0 <= float(rep["kappa"]) <= 1
+
+
+# --- optim ------------------------------------------------------------------
+
+def test_adamw_matches_torch_single_step():
+    import torch
+
+    w0 = np.array([[0.5, -0.2], [0.1, 0.3]], np.float32)
+    g = np.array([[0.1, -0.4], [2.0, -3.0]], np.float32)  # includes |g|>1
+
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.AdamW([p_t], lr=8e-3, weight_decay=0.05)
+    p_t.register_hook(lambda grad: torch.clamp(grad, -1, 1))
+    # hooks fire on backward; emulate by clamping manually like pretrain.py:71-73
+    p_t.grad = torch.from_numpy(g.copy()).clamp(-1, 1)
+    opt.step()
+
+    tx = build_optimizer("AdamW", 8e-3, 0.05, grad_clamp=1.0)
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    upd, _ = tx.update({"w": jnp.asarray(g)}, st, params)
+    new = np.asarray(params["w"] + upd["w"])
+    np.testing.assert_allclose(new, p_t.detach().numpy(), atol=1e-6)
+
+
+def test_adam_coupled_l2_matches_torch():
+    import torch
+
+    w0 = np.array([0.5, -0.2, 0.1], np.float32)
+    g = np.array([0.1, -0.4, 0.2], np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([p_t], lr=5e-4, weight_decay=5e-3)
+    p_t.grad = torch.from_numpy(g.copy())
+    opt.step()
+
+    tx = build_optimizer("Adam", 5e-4, 5e-3)
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    upd, _ = tx.update({"w": jnp.asarray(g)}, st, params)
+    np.testing.assert_allclose(np.asarray(params["w"] + upd["w"]), p_t.detach().numpy(), atol=1e-7)
+
+
+def test_lr_mutation_and_plateau():
+    params = {"w": jnp.ones(3)}
+    tx = build_optimizer("AdamW", 1e-2, 0.0)
+    st = tx.init(params)
+    st = set_learning_rate(st, 0.5, scale=True)
+    assert get_learning_rates(st) == [pytest.approx(5e-3)]
+    sch = ReduceLROnPlateau(factor=0.9, patience=1)
+    assert not sch.step(1.0)
+    assert not sch.step(1.0)  # bad 1
+    assert sch.step(1.0)      # bad 2 > patience → reduce
+
+
+def test_linear_eval_freezes_backbone():
+    params = {"head_linear": {"k": jnp.ones(2)}, "body": {"k": jnp.ones(2)}}
+    tx = build_optimizer(
+        "Adam", 1e-3, 0.0, linear_eval=True,
+        head_label_fn=lambda p: any(str(k).startswith("head_") for k in p),
+    )
+    st = tx.init(params)
+    upd, _ = tx.update(jax.tree.map(jnp.ones_like, params), st, params)
+    assert float(jnp.abs(upd["body"]["k"]).sum()) == 0.0
+    assert float(jnp.abs(upd["head_linear"]["k"]).sum()) > 0.0
+
+
+# --- pipeline ---------------------------------------------------------------
+
+def test_split_matches_torch_random_split():
+    import torch
+
+    ds = list(range(100))
+    val, train = split_dataset(ds, train_fraction=0.8, seed=5)
+    g = torch.Generator().manual_seed(5)
+    v_t, t_t, _ = torch.utils.data.random_split(ds, [20, 80, 0], generator=g)
+    assert val.indices == list(v_t.indices)
+    assert train.indices == list(t_t.indices)
+
+
+def test_dataloader_padding_and_drop_last():
+    ds = SyntheticCubeDataset(num_tiles=13, n_bands=4, tile_size=8, n_classes=3)
+    dl = DataLoader(ds, 4, shuffle=False, drop_last=False, pad_to_multiple=8, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 4
+    assert batches[-1]["img"].shape[0] == 8  # padded 1 → 8
+    assert (batches[-1]["label"][1:] == -1).all()
+    dl2 = DataLoader(ds, 4, shuffle=False, drop_last=True, prefetch=0)
+    assert len(list(dl2)) == 3
+
+
+def test_dataloader_epoch_reshuffle():
+    ds = SyntheticCubeDataset(num_tiles=16, n_bands=2, tile_size=8)
+    dl = DataLoader(ds, 16, shuffle=True, seed=3, prefetch=0)
+    a = next(iter(dl))["img"]
+    b = next(iter(dl))["img"]
+    assert not np.array_equal(a, b)  # epoch bump reshuffles
+
+
+# --- end-to-end smokes ------------------------------------------------------
+
+def test_pretrainer_smoke_decreasing_loss():
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    cfg = _tiny_cfg(get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml"))
+    cfg.model_save_freq = 1000
+    cfg.skip_val = True
+    ds = SyntheticCubeDataset(num_tiles=40, n_bands=40, labeled=False)
+    tr = Pretrainer(cfg)
+    hist = tr.fit(ds, epochs=3, save_checkpoints=False)
+    assert len(hist["train_loss"]) == 3
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_finetuner_smoke_learns():
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = _tiny_cfg(get_finetune_config("configs/finetune_config_enmap.yaml", "configs/config.yaml"))
+    model = ViTSpatialSpectral(
+        image_size=cfg.image_size,
+        spatial_patch_size=cfg.patch_size,
+        spectral_patch_size=cfg.band_patch_size,
+        num_classes=cfg.n_classes,
+        dim=cfg.transformer_dim,
+        depth=cfg.transformer_depth,
+        heads=cfg.transformer_n_heads,
+        mlp_dim=cfg.transformer_mlp_dim,
+        channels=cfg.n_bands,
+        spectral_pos=cfg.spectral_pos[:4],
+    )
+    ds = SyntheticCubeDataset(num_tiles=48, n_bands=40, n_classes=cfg.n_classes)
+    val_ds, train_ds = split_dataset(ds, 0.8, seed=5)
+    ft = Finetuner(cfg, model)
+    hist = ft.fit(train_ds, val_ds, save_checkpoints=False, epochs=2, max_steps=10)
+    assert hist["best_val_acc"] > 0.4  # learnable synthetic task
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from maskedsst_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from maskedsst_tpu.train.train_state import TrainState
+
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    tx = build_optimizer("AdamW", 1e-3, 0.0)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    upd_state = state.apply_gradients({"w": jnp.ones((2, 3))})
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, upd_state, config=None, extra={"epoch": 1})
+
+    fresh = TrainState.create(params, tx, jax.random.PRNGKey(9))
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.asarray(upd_state.params["w"]))
+    np.testing.assert_array_equal(np.asarray(restored.rng), np.asarray(upd_state.rng))
