@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Supervised finetuning driver (reference finetune.py).
+
+Usage (reference-compatible positional dataset name):
+
+  python finetune.py {enmap|houston2018} [--synthetic] [--epochs N]
+                     [--steps N] [--checkpoint PATH|none] [--cpu]
+
+The model comes from ``method_name`` in the finetune config (li /
+ViTSpatialSpectral / ViTRGB). ``--checkpoint`` overrides the config's
+``checkpoint_path``; both ``.msgpack`` (this framework) and ``.pth``
+(reference PyTorch) checkpoints are accepted, with the reference's
+encoder-prefix/head surgery applied (src/utils.py:276-313).
+"""
+
+import argparse
+import random
+
+import numpy as np
+
+SEED = 5
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("dataset", choices=["enmap", "houston2018"])
+    parser.add_argument("--config", default="configs/config.yaml")
+    parser.add_argument("--synthetic-tiles", type=int, default=512)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--checkpoint", default=None, help="'none' disables loading")
+    parser.add_argument("--models-dir", default="models")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    random.seed(SEED)
+    np.random.seed(SEED)
+
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.data.pipeline import split_dataset
+    from maskedsst_tpu.data.resolve import get_dataset
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    config = get_finetune_config(
+        f"configs/finetune_config_{args.dataset}.yaml", args.config, SEED
+    )
+    config.synthetic_tiles = args.synthetic_tiles
+    if args.checkpoint is not None:
+        config.checkpoint_path = None if args.checkpoint == "none" else args.checkpoint
+
+    model, trainer_kwargs = build_finetune_model(config)
+
+    params = None
+    ckpt_path = config.get("checkpoint_path")
+    if ckpt_path:
+        params = _load_pretrained(ckpt_path, config, model)
+        if params is None:
+            print(f"[finetune] checkpoint {ckpt_path!r} not found — training from scratch")
+
+    dataset = get_dataset(config, supervised=True, synthetic=args.synthetic)
+    val_ds, train_ds = split_dataset(
+        dataset, config.train_fraction, config.data_fraction, SEED
+    )
+    print(f"devices: {jax.devices()}")
+    print(f"len(train_dataset)={len(train_ds)}")
+    print(f"len(val_dataset)={len(val_ds)}")
+
+    trainer = Finetuner(config, model, params=params, **trainer_kwargs)
+    print(f"Model name: {config.method_name}")
+    print(f"Model parameters: {trainer.num_params:,}")
+
+    tracker = Tracker("downstream", config)
+    history = trainer.fit(
+        train_ds,
+        val_ds,
+        tracker=tracker,
+        models_dir=args.models_dir,
+        epochs=args.epochs,
+        max_steps=args.steps,
+    )
+    tracker.finish()
+    print(f"best val acc: {history['best_val_acc']:.4f}")
+    if history["throughput"]:
+        print("throughput:", {k: round(v, 2) for k, v in history["throughput"].items()})
+
+
+def _load_pretrained(path: str, config, model):
+    """Load encoder weights from a pretrain checkpoint (.msgpack or .pth)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if not os.path.exists(path):
+        return None
+
+    size = config.image_size - config.get("patch_sub", 0)
+    shape = (1, config.n_bands, size, size)
+    fresh = model.init(
+        jax.random.PRNGKey(SEED), jnp.zeros(shape, jnp.float32), deterministic=True
+    )["params"]
+
+    if path.endswith(".pth"):
+        from maskedsst_tpu.io.torch_import import (
+            load_pretrained_encoder,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(path)
+        return load_pretrained_encoder(
+            ckpt, model, fresh, patch_sub=config.get("patch_sub", 0)
+        )
+
+    # framework checkpoint: full SimMIM train state → encoder subtree
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = raw.get("params", raw)
+    enc = params.get("encoder", params)
+    merged = dict(fresh)
+    for key, val in enc.items():
+        if key == "head_linear":
+            continue  # fresh classification head (reference head surgery)
+        if key not in fresh:
+            print(f"[finetune] skipping checkpoint key {key!r} absent from model")
+            continue
+        if key == "pos_embed" and config.get("patch_sub", 0):
+            want = (config.image_size - config.patch_sub) ** 2
+            val = np.asarray(val)[:, :want, :]
+        merged[key] = val
+    return serialization.from_state_dict(fresh, merged)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""HBM-resident dataset store.
+
+The reference streams every batch host→device (DataLoader + ``.to(device)``
+per step, pretrain.py:105-107). On TPU — especially with the host attached
+over a slow link — that transfer dominates the step time. The store uploads
+the full tile set to device HBM ONCE; each training step then receives only a
+``[batch]`` int32 index vector and gathers its batch on device, so the
+steady-state host→device traffic is a few hundred bytes per step.
+
+Size guard: stores fall back to host streaming when the tile set exceeds the
+HBM budget (the EnMAP reference set at 200 bands × 64² × fp32 is ~3.3 MB/tile
+→ ~4800 tiles in 16 GB; bigger corpora stream per-host shards instead, which
+is the standard multi-host input sharding).
+
+DP note: the store is replicated; the gathered batch is resharded onto the
+``data`` mesh axis with a sharding constraint, so XLA still splits compute
+across chips while the gather itself stays local.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskedsst_tpu.parallel.mesh import replicate
+
+
+class DeviceTileStore:
+    """Stacks a map-style dataset's samples into device-resident arrays.
+
+    fields: which sample keys to stack (default: all keys of sample 0 whose
+    values are arrays/scalars).
+    """
+
+    def __init__(self, dataset, mesh, max_bytes: int = 8 * 1024**3):
+        n = len(dataset)
+        first = dataset[0]
+        fields = [k for k, v in first.items() if not isinstance(v, (str, bytes))]
+        nbytes = sum(
+            np.asarray(first[k]).nbytes if np.ndim(first[k]) else 8 for k in fields
+        ) * n
+        if nbytes > max_bytes:
+            raise MemoryError(
+                f"dataset needs {nbytes/1e9:.1f} GB > budget {max_bytes/1e9:.1f} GB; "
+                "stream from host instead"
+            )
+        host: Dict[str, np.ndarray] = {}
+        for k in fields:
+            vals = [np.asarray(dataset[i][k]) for i in range(n)]
+            host[k] = np.stack(vals)
+        sharding = replicate(mesh)
+        self.arrays: Dict[str, jax.Array] = {
+            k: jax.device_put(jnp.asarray(v), sharding) for k, v in host.items()
+        }
+        self.num_samples = n
+        self.mesh = mesh
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+class IndexBatcher:
+    """Epoch iterator over batch index vectors (host-side numpy RNG, seeded
+    per epoch like the host DataLoader)."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        pad_to_batch: bool = True,
+    ):
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.pad_to_batch = pad_to_batch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.num_samples // self.batch_size
+        return (self.num_samples + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        order = (
+            np.random.default_rng(self.seed + self.epoch).permutation(self.num_samples)
+            if self.shuffle
+            else np.arange(self.num_samples)
+        )
+        self.epoch += 1
+        for lo in range(0, self.num_samples, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                if self.pad_to_batch:
+                    # pad with repeats flagged by negative sign so the step
+                    # can mask them (labels → ignored)
+                    pad = self.batch_size - len(idx)
+                    idx = np.concatenate([idx, -np.ones(pad, idx.dtype)])
+            yield idx.astype(np.int32)

@@ -1,0 +1,123 @@
+"""EnMAP WorldCover / DFC dataset (reference src/data_enmap.py:146-310).
+
+Reads 64x64x224-band GeoTIFF tiles via rasterio, drops the 22 invalid L2
+bands plus configured ``remove_bands`` (→ 200 bands), standardizes band-wise,
+clips to (-200, 10000) in raw units before standardization order — note the
+reference clips AFTER standardization numerically? No: it standardizes inside
+``transforms`` at load and clips the already-transformed tensor at __getitem__
+(src/data_enmap.py:302-304) with the raw-unit bounds, which at standardized
+scale is almost always a no-op; we reproduce that behavior exactly.
+
+Labels come from sibling ``*{target}_30m.tif`` rasters through the
+WorldCover/DFC label transforms. ``rgb_only`` selects bands (199, 150, 0).
+
+Requires rasterio; import of this module is cheap and the dependency is only
+touched on first read.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from maskedsst_tpu.data import constants as C
+from maskedsst_tpu.data.transforms import (
+    dfc_label_transform,
+    standardize_enmap,
+    worldcover_label_transform,
+)
+
+
+def _require_rasterio():
+    try:
+        import rasterio  # noqa: F401
+
+        return rasterio
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "rasterio is required for real EnMAP tiles; use "
+            "maskedsst_tpu.data.synthetic for dataset-free runs"
+        ) from exc
+
+
+class EnMAPWorldCoverDataset:
+    """Returns ``{"img": float32 [200, 64, 64], "label": int64 [64, 64],
+    "idx": int}`` (label omitted for target_type='unlabeled')."""
+
+    def __init__(
+        self,
+        path: str,
+        target_type: str = "worldcover",
+        remove_bands: Sequence[int] = (),
+        test: bool = False,
+        load_to_memory: bool = False,
+        clip: Optional[tuple] = (-200, 10000),
+        rgb_only: bool = False,
+        standardize: bool = True,
+    ):
+        assert target_type in ("worldcover", "dfc", "unlabeled"), target_type
+        # split sanity (reference src/data_enmap.py:203-206)
+        if test:
+            assert "test" in path, f"test split expected a 'test' path: {path}"
+        else:
+            assert "train" in path, f"train split expected a 'train' path: {path}"
+        self.path = path
+        self.target_type = target_type
+        self.invalid_band_idxs = list(C.ENMAP_INVALID_BAND_IDXS) + list(remove_bands)
+        self.clip = clip
+        self.rgb_only = rgb_only
+        self.standardize = standardize
+        self.load_to_memory = load_to_memory
+
+        if target_type in ("worldcover", "unlabeled"):
+            self.enmap_files = sorted(glob.glob(os.path.join(path, "*", "*enmap.tif")))
+        else:  # dfc tiles sit flat in the directory
+            self.enmap_files = sorted(glob.glob(os.path.join(path, "*enmap.tif")))
+        self.target_files = [
+            f.replace("enmap.tif", f"{target_type}_30m.tif") for f in self.enmap_files
+        ]
+        if target_type == "unlabeled":
+            self.target_files = None
+
+        self._cache = {}
+        if load_to_memory:
+            for i in range(len(self)):
+                self._cache[i] = self._load(i)
+
+    def __len__(self) -> int:
+        return len(self.enmap_files)
+
+    def _load_img(self, path: str) -> np.ndarray:
+        rio = _require_rasterio()
+        with rio.open(path, num_threads=4) as f:
+            keep = [b for b in f.indexes if b - 1 not in self.invalid_band_idxs]
+            img = f.read(keep).astype(np.float32)
+        if self.standardize:
+            img = standardize_enmap(img).astype(np.float32)
+        if self.rgb_only:
+            img = img[[199, 150, 0]]
+        return img
+
+    def _load_label(self, path: str) -> np.ndarray:
+        rio = _require_rasterio()
+        with rio.open(path) as f:
+            label = f.read()[0]
+        if self.target_type == "worldcover":
+            return worldcover_label_transform(label)
+        return dfc_label_transform(label)
+
+    def _load(self, idx: int) -> dict:
+        img = self._load_img(self.enmap_files[idx])
+        sample = {"idx": idx, "img": img}
+        if self.target_files is not None:
+            sample["label"] = self._load_label(self.target_files[idx])
+        return sample
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = dict(self._cache[idx]) if idx in self._cache else self._load(idx)
+        if self.clip is not None:
+            sample["img"] = np.clip(sample["img"], self.clip[0], self.clip[1])
+        return sample

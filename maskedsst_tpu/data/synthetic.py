@@ -44,11 +44,22 @@ class SyntheticCubeDataset:
             ]
         ).astype(np.float32)  # [n_classes, n_bands]
         self._seed = seed
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return self.num_tiles
 
     def __getitem__(self, idx: int) -> dict:
+        # tiles are deterministic in idx — cache so epochs after the first
+        # cost no host compute (a 200-band 64x64 tile is ~3.3 MB)
+        if idx in self._cache:
+            return self._cache[idx]
+        sample = self._generate(idx)
+        if len(self._cache) * self.n_bands * self.tile_size**2 * 4 < 2 * 1024**3:
+            self._cache[idx] = sample
+        return sample
+
+    def _generate(self, idx: int) -> dict:
         rng = np.random.default_rng(self._seed * 100003 + idx)
         ts = self.tile_size
         # blobby label map: a few random rectangles of random classes

@@ -213,6 +213,25 @@ def load_pretrained_encoder(
     return params
 
 
+def _conv3d(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Conv3d kernel [out, in, k0, k1, k2] → flax [k0, k1, k2, in, out]."""
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 4, 1, 0),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def import_li_et_al(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference LiEtAl state dict (DeepHyperX/models.py:532-586) → flax
+    params for maskedsst_tpu.models.zoo.LiEtAl. The fc weights transfer
+    directly because the flax model flattens features in torch order."""
+    return {
+        "conv1": _conv3d(sd, "conv1"),
+        "conv2": _conv3d(sd, "conv2"),
+        "fc": _linear(sd, "fc"),
+    }
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a ``.pth`` file into plain numpy-backed dicts (torch CPU)."""
     import torch

@@ -103,7 +103,8 @@ class Finetuner:
                 if add_channel_dim
                 else (1, config.n_bands, size, size)
             )
-            params = model.init(rng, jnp.zeros(shape, jnp.float32), deterministic=True)["params"]
+            init_fn = jax.jit(partial(model.init, deterministic=True))
+            params = init_fn(rng, jnp.zeros(shape, jnp.float32))["params"]
         self.state = TrainState.create(params, tx, jax.random.fold_in(rng, 1))
         self.state = jax.device_put(self.state, replicate(self.mesh))
         self.num_params = sum(p.size for p in jax.tree.leaves(params))
@@ -123,9 +124,28 @@ class Finetuner:
             donate_argnums=(0,),
         )
         self._eval_windows = crop
+        # eval runs on fixed-size chunks of (possibly windowed) samples so the
+        # sliding-window expansion (x(tile/s)^2 samples) never OOMs HBM
+        self.eval_chunk = int(config.get("eval_chunk", 256))
         self._eval_step = jax.jit(
-            partial(self._eval, windows=self._eval_windows),
+            self._eval_sums,
             in_shardings=(self._replicated, self._batch_shard, self._batch_shard),
+            out_shardings=self._replicated,
+        )
+        # HBM-resident variants: samples stay on device, only indices move
+        self._train_step_idx = jax.jit(
+            partial(
+                self._step_idx,
+                crop=crop,
+                shifting_window=bool(config.get("shifting_window", False)),
+            ),
+            in_shardings=(self._replicated,) * 4,
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
+        )
+        self._eval_step_idx = jax.jit(
+            self._eval_sums_idx,
+            in_shardings=(self._replicated,) * 4,
             out_shardings=self._replicated,
         )
 
@@ -185,28 +205,91 @@ class Finetuner:
         }
         return state, metrics
 
-    def _eval(self, state: TrainState, img, label, *, windows: bool):
+    def _eval_sums(self, state: TrainState, img, label):
+        """Per-chunk metric SUMS (loss*valid, correct, valid, confusion
+        matrix); host aggregation over chunks/batches then yields exact
+        global metrics."""
+        from maskedsst_tpu.train.metrics import confusion_matrix
+
         s = self.config.image_size - self.config.get("patch_sub", 0)
-        if windows:
-            b, c = img.shape[0], img.shape[1]
-            k = self.tile_size // s
-            # windows at stride s covering k*k positions (utils.py:503-517)
-            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
-            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
-            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
-            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
         if self.center_pixel and label.ndim == 3:
             center = s // 2
             label = label[:, center, center]
         loss, logits = self._forward_loss(state.params, img, label, state.rng, False)
         pred = jnp.argmax(logits, axis=1)
+        valid = (label != self.config.ignored_label)
+        n_valid = jnp.sum(valid)
         return {
-            "loss": loss,
-            "acc": micro_accuracy(pred, label, self.config.ignored_label),
-            "macro_acc": macro_accuracy(
+            "loss_sum": loss * n_valid,
+            "correct": jnp.sum((pred == label) & valid),
+            "n_valid": n_valid,
+            "cm": confusion_matrix(
                 pred, label, self.config.n_classes, self.config.ignored_label
             ),
         }
+
+    def _gather_batch(self, imgs, labels, idx):
+        safe = jnp.maximum(idx, 0)
+        img = jnp.take(imgs, safe, axis=0)
+        img = jax.lax.with_sharding_constraint(img, self._batch_shard)
+        label = jnp.take(labels, safe, axis=0)
+        pad_shape = (idx >= 0).reshape((-1,) + (1,) * (label.ndim - 1))
+        label = jnp.where(pad_shape, label, self.config.ignored_label)
+        label = jax.lax.with_sharding_constraint(label, self._batch_shard)
+        return img, label
+
+    def _step_idx(self, state, imgs, labels, idx, *, crop: bool, shifting_window: bool):
+        img, label = self._gather_batch(imgs, labels, idx)
+        return self._step(state, img, label, crop=crop, shifting_window=shifting_window)
+
+    def _eval_sums_idx(self, state, imgs, labels, idx):
+        """Windowed eval over HBM-resident tiles: gather ≤val_bs tiles by
+        index, expand to sliding windows on device, reduce metric sums over
+        bounded lax.map chunks."""
+        img, label = self._gather_batch(imgs, labels, idx)
+        s = self.config.image_size - self.config.get("patch_sub", 0)
+        if self._eval_windows:
+            b, c = img.shape[0], img.shape[1]
+            k = self.tile_size // s
+            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
+            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
+            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
+            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+        n = img.shape[0]
+        chunk = n
+        for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+            if n % cand == 0:
+                chunk = cand
+                break
+        img = img.reshape(n // chunk, chunk, *img.shape[1:])
+        label = label.reshape(n // chunk, chunk, *label.shape[1:])
+        sums = jax.lax.map(
+            lambda args: self._eval_sums(state, args[0], args[1]), (img, label)
+        )
+        return jax.tree.map(lambda x: x.sum(axis=0), sums)
+
+    def _window_batch(self, img: np.ndarray, label: np.ndarray):
+        """Host-side sliding windows at stride s over 64x64 tiles
+        (utils.py:503-517), then fixed-size chunks for the jitted eval."""
+        s = self.config.image_size - self.config.get("patch_sub", 0)
+        if self._eval_windows:
+            b, c = img.shape[0], img.shape[1]
+            k = self.tile_size // s
+            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
+            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
+            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
+            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+        chunk = self.eval_chunk
+        n = img.shape[0]
+        for lo in range(0, n, chunk):
+            ci = img[lo : lo + chunk]
+            cl = label[lo : lo + chunk]
+            if ci.shape[0] < chunk:  # pad to the static chunk shape
+                pad = chunk - ci.shape[0]
+                ci = np.concatenate([ci, np.zeros((pad, *ci.shape[1:]), ci.dtype)])
+                fill = np.full((pad, *cl.shape[1:]), self.config.ignored_label, cl.dtype)
+                cl = np.concatenate([cl, fill])
+            yield ci, cl
 
     # --- loop ---------------------------------------------------------------
     def fit(
@@ -232,28 +315,51 @@ class Finetuner:
         assert cfg.batch_size % n_data == 0 or cfg.batch_size < n_data, (
             f"{cfg.batch_size=} not divisible by data-parallel degree {n_data}"
         )
-        # pad the trailing batch to the FULL batch size: a single static shape
-        # per step avoids XLA recompiles (padded samples carry ignored labels,
-        # so losses/metrics exclude them)
-        loader = DataLoader(
-            train_dataset,
-            cfg.batch_size,
-            shuffle=True,
-            drop_last=False,
-            seed=cfg.get("seed", 5),
-            pad_to_multiple=max(cfg.batch_size, n_data),
-            pad_label_value=cfg.ignored_label,
-        )
         val_bs = cfg.get("val_batch_size", cfg.batch_size)
-        val_loader = DataLoader(
-            val_dataset,
-            val_bs,
-            shuffle=False,
-            drop_last=False,
-            pad_to_multiple=max(val_bs, n_data),
-            pad_label_value=cfg.ignored_label,
-        )
 
+        # prefer HBM-resident samples (index-only host→device traffic)
+        train_store = val_store = None
+        if cfg.get("device_data", True):
+            try:
+                from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+
+                train_store = DeviceTileStore(train_dataset, self.mesh)
+                val_store = DeviceTileStore(val_dataset, self.mesh)
+            except MemoryError as exc:
+                print(f"[finetune] streaming from host: {exc}")
+                train_store = val_store = None
+
+        if train_store is not None:
+            loader = IndexBatcher(
+                len(train_store), cfg.batch_size, shuffle=True, seed=cfg.get("seed", 5)
+            )
+            val_loader = IndexBatcher(len(val_store), val_bs, shuffle=False)
+        else:
+            # pad the trailing batch to the FULL batch size: a single static
+            # shape per step avoids XLA recompiles (padded samples carry
+            # ignored labels, so losses/metrics exclude them)
+            loader = DataLoader(
+                train_dataset,
+                cfg.batch_size,
+                shuffle=True,
+                drop_last=False,
+                seed=cfg.get("seed", 5),
+                pad_to_multiple=max(cfg.batch_size, n_data),
+                pad_label_value=cfg.ignored_label,
+            )
+            val_loader = DataLoader(
+                val_dataset,
+                val_bs,
+                shuffle=False,
+                drop_last=False,
+                pad_to_multiple=max(val_bs, n_data),
+                pad_label_value=cfg.ignored_label,
+            )
+
+        # config budgets follow the reference "run until BOTH are exhausted"
+        # loop (finetune.py:170); explicit overrides stop at whichever budget
+        # is hit first (fast smoke runs)
+        strict = epochs is not None or max_steps is not None
         epoch_budget = epochs if epochs is not None else cfg.epoch
         step_budget = max_steps if max_steps is not None else cfg.max_steps
         validation_epochs = set(get_val_epochs(cfg, max(len(loader), 1)))
@@ -264,14 +370,28 @@ class Finetuner:
         best_val_acc = 0.0
         step, epoch = 0, 0
 
-        # run until BOTH budgets are exhausted (finetune.py:170)
-        while epoch < epoch_budget + 1 or step < step_budget + 1:
+        def done() -> bool:
+            if strict:
+                return epoch >= epoch_budget or step >= step_budget
+            return epoch >= epoch_budget + 1 and step >= step_budget + 1
+
+        while not done():
             for batch in loader:
-                img = jnp.asarray(batch["img"])
-                label = jnp.asarray(batch["label"])
-                self.state, metrics = self._train_step(self.state, img, label)
+                if train_store is not None:
+                    self.state, metrics = self._train_step_idx(
+                        self.state,
+                        train_store.arrays["img"],
+                        train_store.arrays["label"],
+                        jnp.asarray(batch),
+                    )
+                else:
+                    self.state, metrics = self._train_step(
+                        self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
+                    )
                 step += 1
                 meter.tick()
+                if strict and step >= step_budget:
+                    break
                 if step % cfg.logging_freq == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     tracker.log(
@@ -286,14 +406,36 @@ class Finetuner:
             history["train"].append({k: float(v) for k, v in metrics.items()})
 
             if epoch in validation_epochs or epoch == epoch_budget:
-                vals = []
+                sums = None
                 for batch in val_loader:
-                    out = self._eval_step(
-                        self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
+                    if val_store is not None:
+                        out = self._eval_step_idx(
+                            self.state,
+                            val_store.arrays["img"],
+                            val_store.arrays["label"],
+                            jnp.asarray(batch),
+                        )
+                        out = jax.tree.map(np.asarray, out)
+                        sums = out if sums is None else jax.tree.map(np.add, sums, out)
+                    else:
+                        for ci, cl in self._window_batch(batch["img"], batch["label"]):
+                            out = self._eval_step(self.state, jnp.asarray(ci), jnp.asarray(cl))
+                            out = jax.tree.map(np.asarray, out)
+                            sums = out if sums is None else jax.tree.map(np.add, sums, out)
+                if sums is not None and sums["n_valid"] > 0:
+                    nv = float(sums["n_valid"])
+                    support = sums["cm"].sum(axis=1)
+                    recall = np.where(
+                        support > 0, np.diag(sums["cm"]) / np.maximum(support, 1), 0.0
                     )
-                    vals.append({k: float(v) for k, v in out.items()})
-                if vals:
-                    mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+                    present = support > 0
+                    mean = {
+                        "loss": float(sums["loss_sum"]) / nv,
+                        "acc": float(sums["correct"]) / nv,
+                        "macro_acc": float(
+                            (recall * present).sum() / max(present.sum(), 1)
+                        ),
+                    }
                     tracker.log(
                         {
                             "epoch": epoch,
@@ -329,8 +471,6 @@ class Finetuner:
                                 extra={"epoch": epoch, "val_acc": best_val_acc},
                             )
             epoch += 1
-            if epoch >= epoch_budget + 1 and step >= step_budget + 1:
-                break
             if len(loader) == 0:
                 break
 

@@ -50,6 +50,7 @@ def build_optimizer(
     head_lr: Optional[float] = None,
     head_label_fn: Optional[Callable[[tuple], bool]] = None,
     linear_eval: bool = False,
+    momentum: float = 0.0,
 ) -> optax.GradientTransformation:
     """Build the optax chain for a reference recipe.
 
@@ -74,9 +75,23 @@ def build_optimizer(
             def sgd(learning_rate, wd):
                 return optax.chain(
                     optax.add_decayed_weights(wd),
-                    optax.sgd(learning_rate, momentum=0.9),
+                    optax.sgd(learning_rate, momentum=momentum if momentum else None),
                 )
             return optax.inject_hyperparams(sgd)(lr, weight_decay)
+        if name == "Adagrad":
+            def adagrad(learning_rate, wd):
+                return optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.adagrad(learning_rate),
+                )
+            return optax.inject_hyperparams(adagrad)(lr, weight_decay)
+        if name == "Adadelta":
+            def adadelta(learning_rate, wd):
+                return optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.adadelta(learning_rate),
+                )
+            return optax.inject_hyperparams(adadelta)(lr, weight_decay)
         raise ValueError(f"unknown optimizer {name!r}")
 
     needs_groups = linear_eval or (head_lr is not None and head_lr != learning_rate)

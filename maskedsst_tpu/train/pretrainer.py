@@ -99,10 +99,11 @@ class Pretrainer:
         sample = jnp.zeros(
             (1, config.n_bands, config.image_size, config.image_size), jnp.float32
         )
-        params = self.model.init(
-            {"params": init_rng, "mask": jax.random.PRNGKey(0)},
-            sample,
-            deterministic=True,
+        init_fn = jax.jit(
+            partial(self.model.init, deterministic=True)
+        )  # jit: eager init costs ~1 min of per-op dispatch on TPU
+        params = init_fn(
+            {"params": init_rng, "mask": jax.random.PRNGKey(0)}, sample
         )["params"]
         self.state = TrainState.create(params, tx, state_rng)
         self.state = jax.device_put(self.state, replicate(self.mesh))
@@ -124,9 +125,21 @@ class Pretrainer:
             out_shardings=(self._replicated, self._replicated),
             donate_argnums=(0,),
         )
+        # HBM-resident variant: tiles stay on device, only [B] indices move
+        self._train_step_idx = jax.jit(
+            partial(self._step_idx, crop=crop, train=True),
+            in_shardings=(self._replicated, self._replicated, self._replicated),
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
+        )
         self._val_step = jax.jit(
             partial(self._step_val),
             in_shardings=(self._replicated, self._batch_shard, None),
+            out_shardings=self._replicated,
+        )
+        self._val_step_idx = jax.jit(
+            self._step_val_idx,
+            in_shardings=(self._replicated, self._replicated, self._replicated, None),
             out_shardings=self._replicated,
         )
 
@@ -161,18 +174,47 @@ class Pretrainer:
         gnorm = optax_global_norm(grads)
         return state, {"loss": loss, "grad_norm": gnorm}
 
+    def _gather(self, store_tiles, idx):
+        """[N, C, t, t] resident tiles + [B] indices → batch resharded onto
+        the data axis (gather is local; only compute splits across chips)."""
+        batch = jnp.take(store_tiles, idx, axis=0)
+        return jax.lax.with_sharding_constraint(batch, self._batch_shard)
+
+    def _step_idx(self, state: TrainState, store_tiles, idx, *, crop: bool, train: bool):
+        return self._step(
+            state, self._gather(store_tiles, idx), crop=crop, train=train
+        )
+
+    def _step_val_idx(self, state: TrainState, store_tiles, idx, mask_rng):
+        return self._step_val(state, self._gather(store_tiles, idx), mask_rng)
+
     def _step_val(self, state: TrainState, tiles, mask_rng):
-        """Sliding window (stride = window) over the tile, one batched forward
-        per epoch-val batch (pretrain.py:166-184 loops windows serially;
-        vectorizing over windows is loss-equivalent because all windows have
-        the same element count)."""
+        """Sliding window (stride = window) over the tile
+        (pretrain.py:166-184 loops windows serially; vectorizing over windows
+        is loss-equivalent because all windows have the same element count).
+        Windows run in bounded chunks via lax.map so the x(tile/s)^2 batch
+        expansion never exceeds HBM."""
         s = self.config.image_size
         b, c = tiles.shape[0], tiles.shape[1]
         k = self.tile_size // s
         windows = tiles[:, :, : k * s, : k * s]
         windows = windows.reshape(b, c, k, s, k, s)
         windows = windows.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
-        return self._loss(state.params, windows, mask_rng, mask_rng, train=False)
+        n = windows.shape[0]
+        chunk = n
+        for cand in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            if n % cand == 0 and cand <= 512:
+                chunk = cand
+                break
+        windows = windows.reshape(n // chunk, chunk, c, s, s)
+
+        def one(args):
+            i, w = args
+            key = jax.random.fold_in(mask_rng, i)
+            return self._loss(state.params, w, key, key, train=False)
+
+        losses = jax.lax.map(one, (jnp.arange(n // chunk), windows))
+        return losses.mean()
 
     # --- loop ---------------------------------------------------------------
     def fit(
@@ -196,12 +238,37 @@ class Pretrainer:
         val_ds, train_ds = split_dataset(
             dataset, cfg.train_fraction, cfg.data_fraction, cfg.get("seed", 5)
         )
-        loader = DataLoader(
-            train_ds, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.get("seed", 5)
-        )
-        val_loader = DataLoader(
-            val_ds, cfg.batch_size, shuffle=False, drop_last=True, seed=0
-        )
+
+        # prefer HBM-resident tiles (index-only host→device traffic); fall
+        # back to streaming loaders when the set exceeds the HBM budget
+        train_store = val_store = None
+        if cfg.get("device_data", True):
+            try:
+                from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+
+                train_store = DeviceTileStore(train_ds, self.mesh)
+                if len(val_ds) >= cfg.batch_size:
+                    val_store = DeviceTileStore(val_ds, self.mesh)
+            except MemoryError as exc:
+                print(f"[pretrain] streaming from host: {exc}")
+                train_store = val_store = None
+
+        if train_store is not None:
+            loader = IndexBatcher(
+                len(train_store), cfg.batch_size, shuffle=True, drop_last=True,
+                seed=cfg.get("seed", 5),
+            )
+            val_loader = IndexBatcher(
+                len(val_store) if val_store else 0, cfg.batch_size,
+                shuffle=False, drop_last=True,
+            ) if val_store else []
+        else:
+            loader = DataLoader(
+                train_ds, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.get("seed", 5)
+            )
+            val_loader = DataLoader(
+                val_ds, cfg.batch_size, shuffle=False, drop_last=True, seed=0
+            )
 
         epochs = epochs if epochs is not None else cfg.epoch
         meter = Throughput(cfg.batch_size, num_chips=self.mesh.devices.size)
@@ -213,8 +280,14 @@ class Pretrainer:
 
         for epoch in range(epochs):
             for batch in loader:
-                tiles = jnp.asarray(batch["img"])
-                self.state, metrics = self._train_step(self.state, tiles)
+                if train_store is not None:
+                    self.state, metrics = self._train_step_idx(
+                        self.state, train_store.arrays["img"], jnp.asarray(batch)
+                    )
+                else:
+                    self.state, metrics = self._train_step(
+                        self.state, jnp.asarray(batch["img"])
+                    )
                 step += 1
                 meter.tick()
                 if step % cfg.logging_freq == 0:
@@ -248,10 +321,13 @@ class Pretrainer:
             if not cfg.get("skip_val", False):
                 val_losses = []
                 for vi, batch in enumerate(val_loader):
-                    tiles = jnp.asarray(batch["img"])
-                    vloss = self._val_step(
-                        self.state, tiles, jax.random.fold_in(jax.random.PRNGKey(7), epoch * 10000 + vi)
-                    )
+                    vkey = jax.random.fold_in(jax.random.PRNGKey(7), epoch * 10000 + vi)
+                    if train_store is not None:
+                        vloss = self._val_step_idx(
+                            self.state, val_store.arrays["img"], jnp.asarray(batch), vkey
+                        )
+                    else:
+                        vloss = self._val_step(self.state, jnp.asarray(batch["img"]), vkey)
                     val_losses.append(float(vloss))
                 if val_losses:
                     val_loss = float(np.mean(val_losses))
