@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Hyperparameter-sweep finetune driver (reference src/finetune_sweep.py).
+
+Configuration comes from the sweep controller (wandb when available) layered
+over the finetune YAML defaults, with the reference's string→bool coercion
+(verify_sweep_params). Run standalone with ``--set key=value`` overrides for
+a controller-free sweep step:
+
+  python finetune_sweep.py [dataset] --set lr=0.001 --set linear_eval=false
+"""
+
+import argparse
+import random
+
+import numpy as np
+import yaml
+
+SEED = 5
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("dataset", nargs="?", default="enmap", choices=["enmap", "houston2018"])
+    parser.add_argument("--config", default="configs/config.yaml")
+    parser.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    random.seed(SEED)
+    np.random.seed(SEED)
+
+    from maskedsst_tpu.config import Config, get_finetune_config, verify_sweep_params
+    from maskedsst_tpu.data.pipeline import split_dataset
+    from maskedsst_tpu.data.resolve import get_dataset
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    config = get_finetune_config(
+        f"configs/finetune_config_{args.dataset}.yaml", args.config, SEED
+    )
+
+    # layer sweep values: wandb.config when a sweep agent is driving,
+    # otherwise --set overrides (reference get_sweep_finetune_config,
+    # src/utils.py:367-412)
+    overrides = {}
+    tracker = Tracker("enmap-simmim-downstream", config)
+    if tracker._wandb is not None:
+        overrides.update(dict(tracker._wandb.config))
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        overrides[key] = yaml.safe_load(val)
+    for key, val in overrides.items():
+        setattr(config, key, val)
+
+    coerced = verify_sweep_params(config.to_dict())
+    for key, val in coerced.items():
+        setattr(config, key, val)
+    config.run_id = tracker.run_id
+
+    model, trainer_kwargs = build_finetune_model(config)
+    dataset = get_dataset(config, supervised=True, synthetic=args.synthetic)
+    val_ds, train_ds = split_dataset(dataset, config.train_fraction, config.data_fraction, SEED)
+
+    trainer = Finetuner(config, model, **trainer_kwargs)
+    history = trainer.fit(
+        train_ds, val_ds, tracker=tracker, epochs=args.epochs, max_steps=args.steps
+    )
+    tracker.finish()
+    print(f"best val acc: {history['best_val_acc']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Standalone predictor: load a checkpoint, run sliding-window inference over
+a scene, write the probability/prediction maps (reference
+DeepHyperX/inference.py:16-163, minus the GDAL GeoTIFF writing — outputs are
+.npy unless rasterio is importable).
+
+  python -m maskedsst_tpu.hyperx.inference --model li --checkpoint ck.msgpack \
+      --image scene.mat --mat-key indian_pines_corrected [--n-classes N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--image", required=True, help=".mat/.tif/.hdr scene or .npy array [H,W,B]")
+    parser.add_argument("--mat-key", default=None)
+    parser.add_argument("--n-classes", type=int, required=True)
+    parser.add_argument("--patch-size", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=100)
+    parser.add_argument("--test-stride", type=int, default=1)
+    parser.add_argument("--out", default="inference_out")
+    args = parser.parse_args()
+
+    if args.image.endswith(".npy"):
+        img = np.load(args.image)
+    else:
+        from maskedsst_tpu.hyperx.datasets import open_file
+
+        img = open_file(args.image)
+        if isinstance(img, dict):
+            assert args.mat_key, "--mat-key required for .mat scenes"
+            img = img[args.mat_key]
+    img = np.asarray(img, dtype=np.float32)
+    img = (img - img.min()) / (img.max() - img.min())
+
+    from maskedsst_tpu.hyperx.training import HyperXTrainer
+    from maskedsst_tpu.models.zoo import get_model
+    from maskedsst_tpu.train.checkpoint import restore_params
+
+    overrides = {"test_stride": args.test_stride, "batch_size": args.batch_size}
+    if args.patch_size:
+        overrides["patch_size"] = args.patch_size
+    model, opt, crit, hp = get_model(
+        args.model,
+        n_classes=args.n_classes,
+        n_bands=img.shape[-1],
+        ignored_labels=[0],
+        **overrides,
+    )
+    trainer = HyperXTrainer(model, opt, crit, hp)
+    trainer.params = restore_params(args.checkpoint, trainer.params)
+
+    probs = trainer.test(img, batch_size=args.batch_size)
+    prediction = np.argmax(probs, axis=-1)
+
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "probs.npy"), probs)
+    np.save(os.path.join(args.out, "prediction.npy"), prediction)
+    print(f"wrote {args.out}/probs.npy and prediction.npy, shape {prediction.shape}")
+
+
+if __name__ == "__main__":
+    main()

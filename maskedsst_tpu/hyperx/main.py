@@ -1,0 +1,155 @@
+"""HyperX benchmark CLI (reference DeepHyperX/main.py:57-448).
+
+  python -m maskedsst_tpu.hyperx.main --model li --dataset IndianPines \
+      --training_sample 0.1 --epoch 10 [--runs N] [--cuda ignored]
+
+Runs N train/test cycles on a classic HSI scene (or --synthetic-scene for a
+dataset-free smoke), reports confusion matrix / accuracy / F1 / kappa per run
+and aggregated. sklearn baselines (SVM / SGD / nearest) are supported when
+scikit-learn is importable.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def synthetic_scene(n_bands=50, size=64, n_classes=6, seed=0):
+    """Small synthetic scene with learnable class spectra."""
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+
+    base = SyntheticCubeDataset(
+        num_tiles=1, n_bands=n_bands, tile_size=size, n_classes=n_classes, seed=seed
+    )
+    tile = base[0]
+    img = tile["img"].transpose(1, 2, 0)  # [H, W, B]
+    gt = tile["label"] + 1  # classes 1..n (0 = undefined)
+    gt[tile["label"] < 0] = 0
+    img = (img - img.min()) / (img.max() - img.min())
+    labels = ["Undefined"] + [f"class_{i}" for i in range(n_classes)]
+    return img.astype(np.float32), gt.astype(np.int64), labels, [0], (0, 1, 2), None
+
+
+def run_sklearn(name: str, img, gt, train_gt, test_gt, ignored):
+    from sklearn import neighbors, svm
+    from sklearn.linear_model import SGDClassifier
+
+    X_train = img[train_gt > 0]
+    y_train = train_gt[train_gt > 0]
+    if name == "SVM":
+        clf = svm.SVC(class_weight="balanced")
+    elif name == "SGD":
+        clf = SGDClassifier(class_weight="balanced", learning_rate="optimal", tol=1e-3, average=10)
+    elif name == "nearest":
+        clf = neighbors.KNeighborsClassifier(weights="distance")
+    else:
+        raise ValueError(name)
+    clf.fit(X_train, y_train)
+    return clf.predict(img.reshape(-1, img.shape[-1])).reshape(img.shape[:2])
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", default="li")
+    parser.add_argument("--dataset", default="IndianPines")
+    parser.add_argument("--folder", default="./Datasets/")
+    parser.add_argument("--training_sample", type=float, default=0.1)
+    parser.add_argument("--sampling_mode", default="random", choices=["random", "fixed", "disjoint"])
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--patch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--runs", type=int, default=1)
+    parser.add_argument("--test_stride", type=int, default=1)
+    parser.add_argument("--class_balancing", action="store_true")
+    parser.add_argument("--flip_augmentation", action="store_true")
+    parser.add_argument("--radiation_augmentation", action="store_true")
+    parser.add_argument("--mixture_augmentation", action="store_true")
+    parser.add_argument("--download", action="store_true")
+    parser.add_argument("--synthetic-scene", action="store_true")
+    parser.add_argument("--max-steps", type=int, default=None)
+    args = parser.parse_args()
+
+    from maskedsst_tpu.hyperx.datasets import HyperX, get_dataset
+    from maskedsst_tpu.hyperx.utils import (
+        compute_imf_weights,
+        metrics,
+        sample_gt,
+        show_results,
+    )
+
+    if args.synthetic_scene:
+        img, gt, label_values, ignored_labels, rgb_bands, palette = synthetic_scene()
+    else:
+        img, gt, label_values, ignored_labels, rgb_bands, palette = get_dataset(
+            args.dataset, args.folder, download=args.download
+        )
+    n_classes = len(label_values)
+    n_bands = img.shape[-1]
+    print(f"scene {img.shape}, {n_classes} classes, ignored {ignored_labels}")
+
+    results = []
+    for run in range(args.runs):
+        train_gt, test_gt = sample_gt(gt, args.training_sample, mode=args.sampling_mode)
+        print(
+            f"run {run}: {np.count_nonzero(train_gt)} train / "
+            f"{np.count_nonzero(test_gt)} test pixels"
+        )
+
+        if args.model in ("SVM", "SGD", "nearest"):
+            prediction = run_sklearn(args.model, img, gt, train_gt, test_gt, ignored_labels)
+        else:
+            from maskedsst_tpu.hyperx.training import HyperXTrainer
+            from maskedsst_tpu.models.zoo import get_model
+
+            overrides = {}
+            for key in ("epoch", "batch_size", "patch_size", "lr"):
+                val = getattr(args, key)
+                if val is not None:
+                    overrides[key] = val
+            model, opt, crit, hp = get_model(
+                args.model,
+                n_classes=n_classes,
+                n_bands=n_bands,
+                ignored_labels=ignored_labels,
+                test_stride=args.test_stride,
+                flip_augmentation=args.flip_augmentation,
+                radiation_augmentation=args.radiation_augmentation,
+                mixture_augmentation=args.mixture_augmentation,
+                **overrides,
+            )
+            if args.class_balancing:
+                weights = compute_imf_weights(train_gt, n_classes, ignored_labels)
+                crit = {"type": "cross_entropy", "weight": weights.astype(np.float32)}
+
+            train_gt2, val_gt = sample_gt(train_gt, 0.95, mode="random")
+            train_ds = HyperX(img, train_gt2, **hp)
+            val_ds = HyperX(img, val_gt, **hp)
+            trainer = HyperXTrainer(model, opt, crit, hp)
+            trainer.train(
+                train_ds,
+                epochs=hp["epoch"] if args.epoch is None else args.epoch,
+                val_dataset=val_ds if len(val_ds) else None,
+                max_steps=args.max_steps,
+            )
+            probs = trainer.test(img)
+            prediction = np.argmax(probs, axis=-1)
+
+        run_results = metrics(
+            prediction, test_gt, ignored_labels=ignored_labels, n_classes=n_classes
+        )
+        results.append(run_results)
+        mask = np.zeros(gt.shape, dtype=bool)
+        for l in ignored_labels:
+            mask[gt == l] = True
+        prediction = np.where(mask, 0, prediction)
+        show_results(run_results, label_values=label_values)
+
+    if args.runs > 1:
+        show_results(results, label_values=label_values, agregated=True)
+
+
+if __name__ == "__main__":
+    main()
