@@ -50,17 +50,18 @@ def main() -> None:
         jnp.float32,
     )
 
-    # warmup / compile
+    # warmup / compile; completion forced by a host value fetch because
+    # block_until_ready does not reliably block on tunneled TPU backends
     state = trainer.state
     for _ in range(3):
         state, metrics = trainer._train_step(state, tiles)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer._train_step(state, tiles)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # sync: the chain forces all steps to execute
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt

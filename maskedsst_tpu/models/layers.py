@@ -25,6 +25,17 @@ from flax import linen as nn
 LN_EPS = 1e-5
 
 
+def _block_diag(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[g, p, d] stacked per-block kernels → block-diagonal [g*p, g*d]
+    (zeros off the diagonal blocks). Built with a broadcast mask so it stays
+    a cheap fused elementwise op under jit."""
+    g, p, d = kernel.shape
+    eye = jnp.eye(g, dtype=kernel.dtype)
+    # [g, p, g, d]: block (i, j) = kernel[i] if i == j else 0
+    expanded = kernel[:, :, None, :] * eye[:, None, :, None]
+    return expanded.reshape(g * p, g * d)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm matching torch defaults (eps=1e-5, affine)."""
 
@@ -152,6 +163,103 @@ class Transformer(nn.Module):
         return x
 
 
+class FusedTransformer(nn.Module):
+    """Drop-in replacement for :class:`Transformer` backed by the fused
+    Pallas layer kernel (maskedsst_tpu/ops/fused_layer.py).
+
+    The parameter tree is bit-identical to Transformer's (each layer's
+    params are declared as one pytree-valued param with the same nested
+    names), so checkpoints and the torch importer work unchanged and the two
+    implementations are interchangeable at ``apply`` time.
+
+    Dropout runs inside the kernel from the 'dropout' RNG stream. Sequences
+    are the factorized model's folded axes ([B', S, D]); inputs with extra
+    leading batch dims are flattened for the kernel and restored after.
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        from maskedsst_tpu.ops.fused_layer import LayerParams, fused_transformer_layer
+
+        inner = self.heads * self.dim_head
+        kernel_init = nn.initializers.lecun_normal()
+
+        def layer_init(rng):
+            ks = jax.random.split(rng, 4)
+            return {
+                "attn_norm": {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))},
+                "attn": {
+                    "to_qkv": {"kernel": kernel_init(ks[0], (self.dim, 3 * inner))},
+                    "to_out": {
+                        "kernel": kernel_init(ks[1], (inner, self.dim)),
+                        "bias": jnp.zeros((self.dim,)),
+                    },
+                },
+                "ff_norm": {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))},
+                "ff": {
+                    "fc1": {
+                        "kernel": kernel_init(ks[2], (self.dim, self.mlp_dim)),
+                        "bias": jnp.zeros((self.mlp_dim,)),
+                    },
+                    "fc2": {
+                        "kernel": kernel_init(ks[3], (self.mlp_dim, self.dim)),
+                        "bias": jnp.zeros((self.dim,)),
+                    },
+                },
+            }
+
+        train = not deterministic and self.dropout > 0.0
+        if train:
+            base_seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+            )
+        else:
+            base_seed = jnp.zeros((), jnp.int32)
+
+        lead = x.shape[:-2]
+        xb = x.reshape(-1, x.shape[-2], x.shape[-1])
+        compute_dtype = self.dtype or jnp.float32
+        # Mosaic only targets TPU; fall back to the interpreter elsewhere so
+        # the fused path stays runnable (and testable) on CPU
+        interpret = self.interpret or jax.default_backend() == "cpu"
+        for i in range(self.depth):
+            tree = self.param(f"layers_{i}", layer_init)
+            p = LayerParams(
+                ln1_scale=tree["attn_norm"]["scale"],
+                ln1_bias=tree["attn_norm"]["bias"],
+                wqkv=tree["attn"]["to_qkv"]["kernel"],
+                wout=tree["attn"]["to_out"]["kernel"],
+                bout=tree["attn"]["to_out"]["bias"],
+                ln2_scale=tree["ff_norm"]["scale"],
+                ln2_bias=tree["ff_norm"]["bias"],
+                w1=tree["ff"]["fc1"]["kernel"],
+                b1=tree["ff"]["fc1"]["bias"],
+                w2=tree["ff"]["fc2"]["kernel"],
+                b2=tree["ff"]["fc2"]["bias"],
+            )
+            xb = fused_transformer_layer(
+                xb,
+                p,
+                base_seed + jnp.int32(i),
+                self.heads,
+                self.dim_head,
+                compute_dtype,
+                self.dropout,
+                train,
+                interpret,
+            )
+        return xb.reshape(*lead, x.shape[-2], x.shape[-1])
+
+
 class BlockwisePatchEmbedding(nn.Module):
     """Per-spectral-block linear patch embedding as one batched einsum.
 
@@ -198,7 +306,14 @@ class BlockwisePatchEmbedding(nn.Module):
 
     @nn.compact
     def embed(self, patches):
-        """patches [B, g, n, p] → tokens [B, g*n, dim]."""
+        """patches [B, g, n, p] → tokens [B, g*n, dim].
+
+        The per-block contraction runs as ONE dense matmul against a
+        block-diagonal [g*p, g*d] expansion of the stacked kernel instead of
+        a g-way batched einsum: the batched form is g tiny K=p matmuls whose
+        per-instance setup dominates on TPU, while the dense form is a single
+        MXU-shaped op (the 20x extra multiply-by-zero FLOPs are free at these
+        sizes)."""
         patches = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="pre_norm")(patches)
         kernel = self.param(
             "blockwise_kernel",
@@ -209,15 +324,16 @@ class BlockwisePatchEmbedding(nn.Module):
             "blockwise_bias", nn.initializers.zeros, (self.num_blocks, self.dim)
         )
         dtype = self.dtype or patches.dtype
+        g, p, d = self.num_blocks, self.patch_dim, self.dim
+        b, _, n, _ = patches.shape
+        # [B, g, n, p] → [B, n, g*p] so each row sees all blocks' pixels
+        x = patches.transpose(0, 2, 1, 3).reshape(b, n, g * p)
+        w_bd = _block_diag(kernel.astype(dtype))  # [g*p, g*d]
         tokens = jnp.einsum(
-            "bgnp,gpd->bgnd",
-            patches.astype(dtype),
-            kernel.astype(dtype),
-            preferred_element_type=dtype,
+            "bnc,ce->bne", x.astype(dtype), w_bd, preferred_element_type=dtype
         )
-        tokens = tokens + bias.astype(dtype)[None, :, None, :]
-        b, g, n, d = tokens.shape
-        tokens = tokens.reshape(b, g * n, d)
+        tokens = tokens.reshape(b, n, g, d) + bias.astype(dtype)[None, None, :, :]
+        tokens = tokens.transpose(0, 2, 1, 3).reshape(b, g * n, d)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="post_norm")(tokens)
 
     def __call__(self, x):

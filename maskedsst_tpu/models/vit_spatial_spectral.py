@@ -28,6 +28,7 @@ from flax import linen as nn
 from maskedsst_tpu.models.layers import (
     LN_EPS,
     BlockwisePatchEmbedding,
+    FusedTransformer,
     PatchEmbed,
     Transformer,
 )
@@ -62,6 +63,9 @@ class ViTSpatialSpectral(nn.Module):
     pixelwise: bool = False
     pos_embed_len: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
+    # run the transformer stacks through the fused Pallas layer kernel
+    # (identical param tree and math; see ops/fused_layer.py)
+    fused: bool = False
 
     # ---- static geometry --------------------------------------------------
     @property
@@ -172,11 +176,12 @@ class ViTSpatialSpectral(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
         )
+        tf_cls = FusedTransformer if self.fused else Transformer
         if self.spectral_only:
-            self.spectral_transformer = Transformer(**tf_kwargs)
+            self.spectral_transformer = tf_cls(**tf_kwargs)
         else:
-            self.spatial_transformer = Transformer(**tf_kwargs)
-            self.spectral_transformer = Transformer(**tf_kwargs)
+            self.spatial_transformer = tf_cls(**tf_kwargs)
+            self.spectral_transformer = tf_cls(**tf_kwargs)
 
         # classification heads (reference :437-493)
         num_out_pixels = self.patch_height * self.patch_width

@@ -41,6 +41,11 @@ def build_finetune_model(config: Config) -> Tuple[Any, Dict[str, Any]]:
         return model, trainer_kwargs
 
     if name == "ViTSpatialSpectral":
+        from maskedsst_tpu.train.pretrainer import default_fused
+
+        fused = config.get("fused")
+        if fused is None:
+            fused = default_fused()
         model = ViTSpatialSpectral(
             image_size=size,
             spatial_patch_size=config.patch_size,
@@ -59,6 +64,7 @@ def build_finetune_model(config: Config) -> Tuple[Any, Dict[str, Any]]:
             spectral_only=config.spectral_only,
             pixelwise=config.pixelwise,
             pos_embed_len=config.get("pos_embed_len"),
+            fused=fused,
         )
         return model, {"center_pixel": bool(config.pixelwise)}
 

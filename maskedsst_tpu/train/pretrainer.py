@@ -40,12 +40,22 @@ from maskedsst_tpu.train.train_state import TrainState
 from maskedsst_tpu.utils.tracking import Throughput, Tracker
 
 
+def default_fused() -> bool:
+    """Use the fused Pallas transformer kernel on TPU backends."""
+    import jax as _jax
+
+    return _jax.default_backend() not in ("cpu",)
+
+
 def build_pretrain_model(config: Config, dtype=None) -> SimMIMSpatialSpectral:
     """Encoder + SimMIM wrapper from a merged pretrain config
     (pretrain.py:40-67)."""
     assert config.encoder_name == "ViTSpatialSpectral", (
         f"encoder {config.encoder_name} not available"
     )
+    fused = config.get("fused")
+    if fused is None:
+        fused = default_fused()
     encoder = ViTSpatialSpectral(
         image_size=config.image_size,
         spatial_patch_size=config.patch_size,
@@ -63,6 +73,7 @@ def build_pretrain_model(config: Config, dtype=None) -> SimMIMSpatialSpectral:
         blockwise_patch_embed=config.blockwise_patch_embed,
         spectral_only=config.spectral_only,
         dtype=dtype,
+        fused=fused,
     )
     return SimMIMSpatialSpectral(
         encoder=encoder,
@@ -171,8 +182,10 @@ class Pretrainer:
             state.params, img, mask_rng, drop_rng, train
         )
         state = state.apply_gradients(grads).replace(rng=rng)
-        gnorm = optax_global_norm(grads)
-        return state, {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss}
+        if self.config.get("log_grad_norm", False):
+            metrics["grad_norm"] = optax_global_norm(grads)
+        return state, metrics
 
     def _gather(self, store_tiles, idx):
         """[N, C, t, t] resident tiles + [B] indices → batch resharded onto

@@ -1,0 +1,174 @@
+"""Fused Pallas transformer-layer tests (interpret mode on CPU).
+
+Checks: forward/gradient parity vs the XLA expression of the same math,
+dropout determinism/semantics, param-tree interchangeability between
+Transformer and FusedTransformer, and end-to-end model parity."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskedsst_tpu.models import ViTSpatialSpectral
+from maskedsst_tpu.ops.fused_layer import (
+    LayerParams,
+    _reference_layer,
+    fused_transformer_layer,
+)
+
+D, H, DH, F = 24, 2, 8, 16
+I = H * DH
+
+
+def _params(key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 4)
+    s = lambda k, shape: (jax.random.normal(k, shape) * 0.1).astype(jnp.float32)
+    return LayerParams(
+        ln1_scale=jnp.ones((D,)),
+        ln1_bias=jnp.zeros((D,)),
+        wqkv=s(ks[0], (D, 3 * I)),
+        wout=s(ks[1], (I, D)),
+        bout=jnp.zeros((D,)),
+        ln2_scale=jnp.ones((D,)),
+        ln2_bias=jnp.zeros((D,)),
+        w1=s(ks[2], (D, F)),
+        b1=jnp.zeros((F,)),
+        w2=s(ks[3], (F, D)),
+        b2=jnp.zeros((D,)),
+    )
+
+
+SEED = jnp.zeros((), jnp.int32)
+
+
+def _fused(x, p, rate=0.0, train=False, seed=SEED):
+    return fused_transformer_layer(x, p, seed, H, DH, jnp.float32, rate, train, True)
+
+
+def test_forward_parity():
+    p = _params()
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, D))
+    want = _reference_layer(x, p, H, DH, jnp.float32)
+    got = _fused(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_grad_parity():
+    p = _params()
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 16, D))
+
+    def loss_f(x, p):
+        return (_fused(x, p) ** 2).mean()
+
+    def loss_r(x, p):
+        return (_reference_layer(x, p, H, DH, jnp.float32) ** 2).mean()
+
+    gx_f, gp_f = jax.grad(loss_f, argnums=(0, 1))(x, p)
+    gx_r, gp_r = jax.grad(loss_r, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-5, rtol=1e-3)
+    for name in p._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp_f, name)),
+            np.asarray(getattr(gp_r, name)),
+            atol=1e-4,
+            rtol=2e-3,
+            err_msg=name,
+        )
+
+
+def _needs_tpu_prng():
+    if jax.default_backend() == "cpu":
+        pytest.skip("pltpu.prng_seed has no CPU interpret lowering; "
+                    "dropout paths are verified on the TPU backend")
+
+
+def test_dropout_semantics():
+    _needs_tpu_prng()
+    p = _params()
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 16, D))
+    eval_out = _fused(x, p, rate=0.5, train=False)
+    np.testing.assert_allclose(
+        np.asarray(eval_out), np.asarray(_fused(x, p)), atol=1e-6
+    )  # eval ignores dropout
+    a = _fused(x, p, rate=0.5, train=True, seed=jnp.int32(7))
+    b = _fused(x, p, rate=0.5, train=True, seed=jnp.int32(7))
+    c = _fused(x, p, rate=0.5, train=True, seed=jnp.int32(8))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # deterministic
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4  # seed-sensitive
+    assert np.abs(np.asarray(a) - np.asarray(eval_out)).max() > 1e-4
+
+
+def test_dropout_grad_uses_same_mask():
+    """grad of sum through dropout must be consistent with the fwd mask:
+    finite-difference along one input coordinate."""
+    _needs_tpu_prng()
+    p = _params()
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, D))
+
+    def loss(x):
+        return (_fused(x, p, rate=0.3, train=True, seed=jnp.int32(5)) ** 2).mean()
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    d = jnp.zeros_like(x).at[0, 0, 0].set(1.0)
+    fd = (loss(x + eps * d) - loss(x - eps * d)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0, 0]), float(fd), rtol=2e-2, atol=1e-4)
+
+
+def test_model_param_tree_interchangeable():
+    kw = dict(
+        image_size=4,
+        spatial_patch_size=1,
+        spectral_patch_size=10,
+        num_classes=3,
+        dim=D,
+        depth=2,
+        heads=H,
+        dim_head=DH,
+        mlp_dim=F,
+        channels=20,
+        spectral_pos=[0, 1],
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 20, 4, 4)), jnp.float32)
+    m_xla = ViTSpatialSpectral(**kw, fused=False)
+    m_fused = FusedModel = ViTSpatialSpectral(**kw, fused=True)
+    p = jax.jit(functools.partial(m_xla.init, deterministic=True))(
+        jax.random.PRNGKey(0), x
+    )["params"]
+    import jax.tree_util as jtu
+
+    pf = jax.jit(functools.partial(m_fused.init, deterministic=True))(
+        jax.random.PRNGKey(0), x
+    )["params"]
+    paths_xla = {jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(p)[0]}
+    paths_fused = {jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(pf)[0]}
+    assert paths_xla == paths_fused
+
+
+def test_model_forward_parity_fused_vs_xla():
+    kw = dict(
+        image_size=4,
+        spatial_patch_size=1,
+        spectral_patch_size=10,
+        num_classes=3,
+        dim=D,
+        depth=2,
+        heads=H,
+        dim_head=DH,
+        mlp_dim=F,
+        channels=20,
+        spectral_pos=[0, 1],
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 20, 4, 4)), jnp.float32)
+    m_xla = ViTSpatialSpectral(**kw, fused=False)
+    p = m_xla.init(jax.random.PRNGKey(0), x, deterministic=True)["params"]
+    out_xla = m_xla.apply({"params": p}, x, deterministic=True)
+
+    # FusedTransformer auto-falls back to interpret mode on CPU
+    m_fused = ViTSpatialSpectral(**kw, fused=True)
+    out_fused = m_fused.apply({"params": p}, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_xla), atol=5e-5, rtol=1e-3
+    )
