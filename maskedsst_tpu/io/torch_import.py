@@ -161,9 +161,11 @@ def import_simmim(sd: Mapping[str, Any], simmim) -> Dict[str, Any]:
 def import_vit_rgb(sd: Mapping[str, Any], model) -> Dict[str, Any]:
     """Reference ViTRGB state dict (src/vit_original.py:103-202) → flax params."""
     params: Dict[str, Any] = {
-        "patch_pre_norm": _layernorm(sd, "to_patch_embedding.1"),
-        "patch_proj": _linear(sd, "to_patch_embedding.2"),
-        "patch_post_norm": _layernorm(sd, "to_patch_embedding.3"),
+        "patch_chain": {
+            "patch_pre_norm": _layernorm(sd, "to_patch_embedding.1"),
+            "patch_proj": _linear(sd, "to_patch_embedding.2"),
+            "patch_post_norm": _layernorm(sd, "to_patch_embedding.3"),
+        },
         "pos_embedding": _np(sd["pos_embedding"]),
         "cls_token": _np(sd["cls_token"]),
         "transformer": _transformer(sd, "transformer", model.depth),
@@ -171,6 +173,23 @@ def import_vit_rgb(sd: Mapping[str, Any], model) -> Dict[str, Any]:
         "head_linear": _linear(sd, "mlp_head.1"),
     }
     return params
+
+
+def import_vit_spatial_spectral_v1(sd: Mapping[str, Any], model) -> Dict[str, Any]:
+    """Reference ViTSpatialSpectral_V1 state dict
+    (src/vit_spatial_spectral.py:600-764) → flax params."""
+    return {
+        "embed_chain": {
+            "pre_norm": _layernorm(sd, "to_patch_embedding.1"),
+            "proj": _linear(sd, "to_patch_embedding.2"),
+            "post_norm": _layernorm(sd, "to_patch_embedding.3"),
+        },
+        "pos_embedding": _np(sd["pos_embedding"]),
+        "spatial_transformer": _transformer(sd, "spatial_spectral_transformer.1", model.depth),
+        "spectral_transformer": _transformer(sd, "spatial_spectral_transformer.3", model.depth),
+        "head_norm": _layernorm(sd, "mlp_head.0"),
+        "head_linear": _linear(sd, "mlp_head.1"),
+    }
 
 
 def load_pretrained_encoder(

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from maskedsst_tpu.models.vit_spatial_spectral import ViTSpatialSpectral
-from maskedsst_tpu.ops.masking import MaskGenerator, loss_weights, random_token_mask
+from maskedsst_tpu.ops.masking import (
+    MaskGenerator,
+    loss_weights,
+    masked_indices as masked_token_indices,
+    random_token_mask,
+)
 
 
 class BlockwiseToPixels(nn.Module):
@@ -84,6 +89,12 @@ class SimMIMSpatialSpectral(nn.Module):
     intermediate_losses: bool = False
     dtype: Optional[jnp.dtype] = None
 
+    @property
+    def _is_v1(self) -> bool:
+        from maskedsst_tpu.models.vit_spatial_spectral_v1 import ViTSpatialSpectralV1
+
+        return isinstance(self.encoder, ViTSpatialSpectralV1)
+
     def setup(self):
         assert 0 < self.masking_ratio < 1, "masking ratio must be in (0, 1)"
         enc = self.encoder
@@ -127,20 +138,29 @@ class SimMIMSpatialSpectral(nn.Module):
         """
         enc = self.encoder
         b = img.shape[0]
-        n_spatial = enc.num_spatial_patches
+        n_spatial = (
+            enc.num_spatial_patches**2 if self._is_v1 else enc.num_spatial_patches
+        )
         n_blocks = enc.num_spectral_patches
         num_tokens = n_blocks * n_spatial
 
         # --- tokenize (raw patches are the reconstruction targets) ---------
-        if enc.blockwise_patch_embed:
+        if self._is_v1:
+            flat = enc.to_patch(img)  # [B, g*n, p] raw (V1 LN sits in embed)
+            tokens = enc.embed(flat)
+            patches = flat.reshape(b, n_blocks, n_spatial, -1)
+            # V1 wrapper slices the learned table at [1:n+1]
+            # (reference vit_simmim_original.py:232-234)
+            pos = enc.pos_embedding[:, 1 : num_tokens + 1].astype(tokens.dtype)
+        elif enc.blockwise_patch_embed:
             patches = enc.to_patch_embedding.to_patch(img)  # [B, g, n, p] raw
             tokens = enc.to_patch_embedding.embed(patches)  # [B, g*n, d]
+            pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
         else:
             flat = enc.to_patch_embedding.to_patch(img)  # [B, g*n, p] (LN'ed)
             tokens = enc.to_patch_embedding.embed(flat)
             patches = flat.reshape(b, n_blocks, n_spatial, -1)
-
-        pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
+            pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
         tokens = tokens + pos
 
         # --- draw the mask on device ---------------------------------------
@@ -161,6 +181,8 @@ class SimMIMSpatialSpectral(nn.Module):
 
         # --- encode ---------------------------------------------------------
         encoded = enc.transformer_forward(tokens, deterministic=deterministic)
+        if isinstance(encoded, tuple):  # V1 returns (x, x_spatial, x_spectral)
+            encoded = encoded[0]
         encoded = encoded.reshape(b, n_blocks, n_spatial, enc.dim)
 
         # --- decode ALL tokens, weight the loss to the masked subset --------
@@ -184,6 +206,58 @@ class SimMIMSpatialSpectral(nn.Module):
             # so the sum is exactly 3x the final loss. Reproduced as-is.
             recon_loss = recon_loss * 3.0
         return recon_loss
+
+
+class SimMIM(nn.Module):
+    """Legacy SimMIM wrapper for plain-ViT encoders (reference SimMIM,
+    src/vit_simmim_original.py:43-136, adapted to ViTRGB): random per-token
+    masking at ``masking_ratio``, positions from the learned table rows
+    1..n (cls row skipped), single linear pixel decoder. Returns the tuple
+    ``(recon_loss, pred_pixel_values, masked_patches, masked_indices,
+    encoded)`` like the reference."""
+
+    encoder: "nn.Module"
+    masking_ratio: float = 0.5
+
+    def setup(self):
+        assert 0 < self.masking_ratio < 1, "masking ratio must be in (0, 1)"
+        self.mask_token = self.param(
+            "mask_token", nn.initializers.normal(1.0), (self.encoder.dim,)
+        )
+        self.to_pixels = nn.Dense(self.encoder.pixels_per_patch, name="to_pixels")
+
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        mask_rng: Optional[jnp.ndarray] = None,
+    ):
+        enc = self.encoder
+        patches = enc.to_patch(img)
+        b, num_patches, _ = patches.shape
+        tokens = enc.embed(patches)
+        pos = enc.pos_embedding[:, 1 : num_patches + 1].astype(tokens.dtype)
+        tokens = tokens + pos
+
+        num_masked = int(self.masking_ratio * num_patches)
+        if mask_rng is None:
+            mask_rng = self.make_rng("mask")
+        bool_mask = random_token_mask(mask_rng, b, num_patches, num_masked)
+        masked_indices = masked_token_indices(bool_mask, num_masked)
+
+        mask_tokens = self.mask_token.astype(tokens.dtype)[None, None, :] + pos
+        tokens = jnp.where(bool_mask[..., None], mask_tokens, tokens)
+
+        encoded = enc.encode(tokens, deterministic=deterministic)
+        encoded_masked = jnp.take_along_axis(encoded, masked_indices[..., None], axis=1)
+        pred = self.to_pixels(encoded_masked)
+        masked_patches = jnp.take_along_axis(patches, masked_indices[..., None], axis=1)
+        recon_loss = (
+            jnp.mean(jnp.abs(pred.astype(jnp.float32) - masked_patches.astype(jnp.float32)))
+            / num_masked
+        )
+        return recon_loss, pred, masked_patches, masked_indices, encoded
 
 
 def _scalar(size) -> int:
