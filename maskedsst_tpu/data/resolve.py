@@ -27,10 +27,17 @@ def get_dataset(config: Config, *, supervised: bool, synthetic: bool = False):
     synthetic=True (or missing data/libs with a warning) → SyntheticCubeDataset
     with the right band/class counts.
     """
+    train_path = str(config.get("train_path", ""))
+    # packed native tile store (.msts) — fastest host path, no geo libs needed
+    if not synthetic and train_path.endswith(".msts") and os.path.exists(train_path):
+        from maskedsst_tpu.native import PackedTileStore
+
+        return PackedTileStore(train_path)
+
     have_real = (
         not synthetic
         and _geo_available()
-        and os.path.exists(str(config.get("train_path", "")))
+        and os.path.exists(train_path)
     )
     if not have_real:
         if not synthetic:
