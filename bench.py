@@ -2,10 +2,11 @@
 """Benchmark: SimMIM pre-training throughput at the reference recipe.
 
 Measures cubes/sec/chip for the full reference workload (pretrain_config.yaml:
-batch 64 of 8x8x200-band cubes, mask ratio 0.70 tube masking, AdamW 8e-3 with
-elementwise grad clamp, BASELINE.md row "Pretrain recipe") as a complete
-jitted train step (crop + mask + fwd + bwd + update), steady-state after
-warmup.
+batch 64 of 8x8x200-band cubes from 64x64 tiles, mask ratio 0.70 tube
+masking, dropout 0.1, AdamW 8e-3 with elementwise grad clamp, bf16 compute)
+through the production path: HBM-resident tile store, on-device random crop +
+mask sampling, fused Pallas transformer layers, and supersteps of 8 scanned
+train steps per dispatch.
 
 Prints ONE JSON line:
   {"metric": "pretrain_cubes_per_sec_per_chip", "value": N, "unit":
@@ -13,21 +14,14 @@ Prints ONE JSON line:
 
 vs_baseline compares against the reference's PyTorch-GPU recipe. The
 reference publishes no throughput numbers (BASELINE.json "published": {});
-the baseline constant below is our measured reference throughput of the
-upstream PyTorch code on this machine's CPU-free budget — see BASELINE.md.
-Until a GPU measurement exists, vs_baseline uses the estimated PyTorch
-single-GPU figure recorded there.
+the anchor below is the estimated single-GPU figure recorded in BASELINE.md
+(host-side numpy masking + per-block Linear python loops bound the reference
+well below hardware peak).
 """
 
 import json
 import time
 
-# Estimated reference throughput (cubes/sec on one CUDA GPU) for the same
-# recipe. No number is published in-tree (BASELINE.md); this anchor comes
-# from profiling the reference's per-step work: host-side numpy mask
-# generation + 40 tiny-matmul python loops per step dominate, bounding it
-# well below the math peak. Recorded in BASELINE.md; refine when a GPU
-# measurement is available.
 BASELINE_CUBES_PER_SEC = 2000.0
 
 
@@ -37,35 +31,48 @@ def main() -> None:
     import numpy as np
 
     from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
     from maskedsst_tpu.train.pretrainer import Pretrainer
 
     config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
-    use_bf16 = True
-    trainer = Pretrainer(config, dtype=jnp.bfloat16 if use_bf16 else None)
+    trainer = Pretrainer(config, dtype=jnp.bfloat16)
     n_chips = trainer.mesh.devices.size
-
     batch = config.batch_size
-    tiles = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, config.n_bands, 64, 64)),
-        jnp.float32,
-    )
+    k = trainer.steps_per_call
 
-    # warmup / compile; completion forced by a host value fetch because
-    # block_until_ready does not reliably block on tunneled TPU backends
+    dataset = SyntheticCubeDataset(num_tiles=128, n_bands=config.n_bands, labeled=False)
+    store = DeviceTileStore(dataset, trainer.mesh)
+    batcher = IndexBatcher(len(store), batch, shuffle=True, drop_last=True, seed=0)
+
+    def chunks():
+        buf = []
+        while True:
+            buf.extend(list(batcher))  # IndexBatcher reshuffles per epoch
+            while len(buf) >= k:
+                chunk, buf = buf[:k], buf[k:]
+                yield jnp.asarray(np.stack(chunk))
+
+    gen = chunks()
     state = trainer.state
-    for _ in range(3):
-        state, metrics = trainer._train_step(state, tiles)
-    _ = float(metrics["loss"])
+    supersteps = 6
+    # pre-stage index chunks on device: mid-loop host->device uploads
+    # serialize against the compute queue on tunneled backends
+    staged = [next(gen) for _ in range(supersteps + 1)]
 
-    iters = 50
+    # warmup / compile; completion forced by a host fetch because
+    # block_until_ready does not reliably block on tunneled TPU backends
+    state, losses = trainer._train_superstep(state, store.arrays["img"], staged[0])
+    _ = float(losses[-1])
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = trainer._train_step(state, tiles)
-    _ = float(metrics["loss"])  # sync: the chain forces all steps to execute
+    for i in range(supersteps):
+        state, losses = trainer._train_superstep(state, store.arrays["img"], staged[i + 1])
+    _ = float(losses[-1])  # sync: the state chain forces every step to run
     dt = time.perf_counter() - t0
 
-    steps_per_sec = iters / dt
-    cubes_per_sec = steps_per_sec * batch
+    steps = supersteps * k
+    cubes_per_sec = steps * batch / dt
     per_chip = cubes_per_sec / n_chips
     print(
         json.dumps(

@@ -143,6 +143,16 @@ class Pretrainer:
             out_shardings=(self._replicated, self._replicated),
             donate_argnums=(0,),
         )
+        # superstep: scan steps_per_call steps inside ONE dispatch — the
+        # host↔device round trip per call (~27 ms on tunneled backends)
+        # amortizes across K steps
+        self.steps_per_call = int(config.get("steps_per_call", 8))
+        self._train_superstep = jax.jit(
+            partial(self._superstep, crop=crop),
+            in_shardings=(self._replicated, self._replicated, self._replicated),
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
+        )
         self._val_step = jax.jit(
             partial(self._step_val),
             in_shardings=(self._replicated, self._batch_shard, None),
@@ -200,6 +210,18 @@ class Pretrainer:
 
     def _step_val_idx(self, state: TrainState, store_tiles, idx, mask_rng):
         return self._step_val(state, self._gather(store_tiles, idx), mask_rng)
+
+    def _superstep(self, state: TrainState, store_tiles, idx_chunk, *, crop: bool):
+        """idx_chunk [K, B] → K sequential train steps in one dispatch."""
+
+        def body(state, idx):
+            state, metrics = self._step_idx(
+                state, store_tiles, idx, crop=crop, train=True
+            )
+            return state, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, idx_chunk)
+        return state, losses
 
     def _step_val(self, state: TrainState, tiles, mask_rng):
         """Sliding window (stride = window) over the tile
@@ -291,34 +313,68 @@ class Pretrainer:
         model_save_freq = cfg.model_save_freq
         history = {"train_loss": [], "val_loss": []}
 
+        def log_maybe(epoch, prev_step):
+            nonlocal losses
+            if step // cfg.logging_freq != prev_step // cfg.logging_freq:
+                loss = float(metrics["loss"])
+                if np.isnan(loss):
+                    raise ValueError("Loss is NaN")
+                losses.append(loss)
+                tracker.log(
+                    {
+                        "epoch": epoch,
+                        "loss": loss,
+                        "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
+                        **meter.stats(),
+                    },
+                    step=step,
+                )
+
         for epoch in range(epochs):
-            for batch in loader:
-                if train_store is not None:
-                    self.state, metrics = self._train_step_idx(
-                        self.state, train_store.arrays["img"], jnp.asarray(batch)
-                    )
-                else:
+            if train_store is not None:
+                # scan steps_per_call steps per dispatch (full chunks only;
+                # the remainder runs through the single-step path)
+                idx_batches = list(loader)
+                k = max(1, self.steps_per_call)
+                pos = 0
+                while pos < len(idx_batches):
+                    prev_step = step
+                    chunk = idx_batches[pos : pos + k]
+                    if max_steps is not None:
+                        chunk = chunk[: max(0, max_steps - step)]
+                        if not chunk:
+                            break
+                    pos += len(chunk)
+                    if len(chunk) == k and k > 1:
+                        self.state, chunk_losses = self._train_superstep(
+                            self.state,
+                            train_store.arrays["img"],
+                            jnp.asarray(np.stack(chunk)),
+                        )
+                        metrics = {"loss": chunk_losses[-1]}
+                        step += len(chunk)
+                        meter.tick(len(chunk))
+                    else:
+                        for idx in chunk:
+                            self.state, metrics = self._train_step_idx(
+                                self.state, train_store.arrays["img"], jnp.asarray(idx)
+                            )
+                            step += 1
+                            meter.tick()
+                    log_maybe(epoch, prev_step)
+                    if max_steps is not None and step >= max_steps:
+                        break
+            else:
+                for batch in loader:
+                    prev_step = step
                     self.state, metrics = self._train_step(
                         self.state, jnp.asarray(batch["img"])
                     )
-                step += 1
-                meter.tick()
-                if step % cfg.logging_freq == 0:
-                    loss = float(metrics["loss"])
-                    if np.isnan(loss):
-                        raise ValueError("Loss is NaN")
-                    losses.append(loss)
-                    tracker.log(
-                        {
-                            "epoch": epoch,
-                            "loss": loss,
-                            "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
-                            **meter.stats(),
-                        },
-                        step=step,
-                    )
-                if max_steps is not None and step >= max_steps:
-                    break
+                    step += 1
+                    meter.tick()
+                    log_maybe(epoch, prev_step)
+                    if max_steps is not None and step >= max_steps:
+                        break
             history["train_loss"].append(float(metrics["loss"]))
 
             if save_checkpoints and epoch % model_save_freq == 0:

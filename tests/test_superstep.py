@@ -1,0 +1,65 @@
+"""Superstep (scan-K-steps-per-dispatch) equivalence: K steps through the
+scanned superstep must produce bit-identical state evolution to K single
+steps (same RNG threading, same gathers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskedsst_tpu.config import get_pretrain_config
+from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+from maskedsst_tpu.train.pretrainer import Pretrainer
+
+
+def test_superstep_equals_single_steps():
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+    cfg.steps_per_call = 3
+
+    tr = Pretrainer(cfg)
+    ds = SyntheticCubeDataset(num_tiles=24, n_bands=40, labeled=False)
+    store = DeviceTileStore(ds, tr.mesh)
+    idx = np.stack(list(IndexBatcher(len(store), 8, shuffle=True, drop_last=True, seed=0)))[:3]
+
+    state_a = tr.state
+    for i in range(3):
+        state_a, m = tr._train_step_idx(state_a, store.arrays["img"], jnp.asarray(idx[i]))
+
+    # fresh trainer for an identical starting state (the first run donated its
+    # buffers)
+    tr2 = Pretrainer(cfg)
+    state_b, losses = tr2._train_superstep(
+        tr2.state, store.arrays["img"], jnp.asarray(idx)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(m["loss"]), np.asarray(losses[-1]), rtol=1e-6
+    )
+    for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=2e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(state_a.rng), np.asarray(state_b.rng))
+
+
+def test_pretrainer_fit_uses_superstep():
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 4
+    cfg.steps_per_call = 2
+    cfg.skip_val = True
+    cfg.logging_freq = 2
+
+    tr = Pretrainer(cfg)
+    ds = SyntheticCubeDataset(num_tiles=30, n_bands=40, labeled=False)
+    hist = tr.fit(ds, epochs=2, save_checkpoints=False)
+    assert len(hist["train_loss"]) == 2
+    assert np.isfinite(hist["train_loss"]).all()
