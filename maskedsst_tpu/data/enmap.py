@@ -57,6 +57,12 @@ class EnMAPWorldCoverDataset:
         clip: Optional[tuple] = (-200, 10000),
         rgb_only: bool = False,
         standardize: bool = True,
+        pixel_location_file: Optional[str] = None,
+        num_samples_per_class: Optional[int] = None,
+        patch_size: int = 3,
+        patch_offset: int = 100,
+        shuffle_samples: bool = False,
+        seed: int = 0,
     ):
         assert target_type in ("worldcover", "dfc", "unlabeled"), target_type
         # split sanity (reference src/data_enmap.py:203-206)
@@ -82,12 +88,49 @@ class EnMAPWorldCoverDataset:
         if target_type == "unlabeled":
             self.target_files = None
 
+        # pixel-location sampling mode (reference src/data_enmap.py:172-201,
+        # 268-293): a pickled {class: [(tif_path, (x, y)), ...]} file selects
+        # num_samples_per_class center pixels per class; patches of
+        # ``patch_size`` around them are preloaded to memory.
+        self.patch_size = patch_size
+        self.patches: list = []
+        self.patch_labels: list = []
+        if pixel_location_file is not None:
+            import pickle
+            import random as _random
+
+            assert num_samples_per_class and 0 < num_samples_per_class < 6172
+            with open(pixel_location_file, "rb") as handle:
+                pixel_locations = pickle.load(handle)
+            if shuffle_samples:
+                rng = _random.Random(seed)
+                for key in list(pixel_locations.keys()):
+                    rng.shuffle(pixel_locations[key])
+            prev_file, img = "", None
+            for cls, locs in pixel_locations.items():
+                kept = []
+                while len(kept) != num_samples_per_class and locs[patch_offset:]:
+                    tup = locs.pop(patch_offset)
+                    x, y = tup[1]
+                    # skip border pixels so patches stay inside the tile
+                    if patch_size < x < 64 - patch_size and patch_size < y < 64 - patch_size:
+                        kept.append(tup)
+                for tif, (x, y) in kept:
+                    if tif != prev_file:
+                        img = self._load_img(tif)
+                        prev_file = tif
+                    half = patch_size // 2
+                    self.patches.append(img[:, x - half : x + half + 1, y - half : y + half + 1])
+                    self.patch_labels.append(cls)
+
         self._cache = {}
         if load_to_memory:
             for i in range(len(self)):
                 self._cache[i] = self._load(i)
 
     def __len__(self) -> int:
+        if self.patches:
+            return len(self.patches)
         return len(self.enmap_files)
 
     def _load_img(self, path: str) -> np.ndarray:
@@ -117,6 +160,14 @@ class EnMAPWorldCoverDataset:
         return sample
 
     def __getitem__(self, idx: int) -> dict:
+        if self.patches:
+            img = self.patches[idx]
+            if self.clip is not None:
+                img = np.clip(img, self.clip[0], self.clip[1])
+            sample = {"idx": idx, "img": img}
+            if self.target_type != "unlabeled":
+                sample["label"] = np.int64(self.patch_labels[idx])
+            return sample
         sample = dict(self._cache[idx]) if idx in self._cache else self._load(idx)
         if self.clip is not None:
             sample["img"] = np.clip(sample["img"], self.clip[0], self.clip[1])

@@ -29,8 +29,13 @@ def unstandardize_enmap(x: np.ndarray, use_clipped: bool = True) -> np.ndarray:
 
 
 def worldcover_label_transform(x: np.ndarray) -> np.ndarray:
-    """ESA WorldCover codes {0,10..100} → train ids {-1, 0..10}
-    (WorldCoverLabelTransform, src/data_enmap.py:524-551)."""
+    """ESA WorldCover codes {0,10..100} → train ids
+    (WorldCoverLabelTransform, src/data_enmap.py:524-551).
+
+    Reproduces the reference transform bit-exactly, including its quirk:
+    ``x[x==90]=10`` followed by ``//10 - 1`` collapses codes 90 and 100 onto
+    class 0 rather than the 8/10 its own label dict declares. Checkpoint/
+    metric parity requires matching the code, not the intent."""
     x = x.astype(np.int64).copy()
     x[x == 100] = 11
     x[x == 90] = 10
@@ -47,6 +52,20 @@ def dfc_label_transform(x: np.ndarray) -> np.ndarray:
     x[x >= 3] -= 1
     x[x >= 8] -= 1
     return x - 1
+
+
+def max_normalize_enmap(x: np.ndarray) -> np.ndarray:
+    """Band-wise division by dataset maxima (MaxNormalizeEnMAP,
+    src/data_enmap.py:464-504). Note the reference's table has 202 entries
+    (two trailing values belong to removed bands); only the first ``bands``
+    rows apply."""
+    maxs = C.ENMAP_MAXS[: x.shape[0]]
+    return x / maxs[:, None, None]
+
+
+def max_normalize_all_bands_same(x: np.ndarray, maximum: float = 25000.0) -> np.ndarray:
+    """Single global max (MaxNormalizeAllBandsSame, src/data_enmap.py:506-515)."""
+    return x / maximum
 
 
 # --- Houston2018 ------------------------------------------------------------

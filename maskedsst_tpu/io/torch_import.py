@@ -257,3 +257,68 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     return blob
+
+
+# --- export (inverse importer): flax params → reference state-dict keys -----
+
+def _export_linear(tree, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(tree["kernel"]).T
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _export_layernorm(tree, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _export_transformer(tree, prefix: str, depth: int, out: Dict[str, np.ndarray]) -> None:
+    for i in range(depth):
+        layer = tree[f"layers_{i}"]
+        base = f"{prefix}.layers.{i}"
+        _export_layernorm(layer["attn_norm"], f"{base}.0.norm", out)
+        out[f"{base}.0.fn.to_qkv.weight"] = np.asarray(layer["attn"]["to_qkv"]["kernel"]).T
+        if "to_out" in layer["attn"]:
+            _export_linear(layer["attn"]["to_out"], f"{base}.0.fn.to_out.0", out)
+        _export_layernorm(layer["ff_norm"], f"{base}.1.norm", out)
+        _export_linear(layer["ff"]["fc1"], f"{base}.1.fn.net.0", out)
+        _export_linear(layer["ff"]["fc2"], f"{base}.1.fn.net.3", out)
+
+
+def export_vit_spatial_spectral(params: Mapping[str, Any], model) -> Dict[str, np.ndarray]:
+    """flax ViTSpatialSpectral params → a reference-keyed state dict (numpy
+    values; feed through ``torch.save({'model_state_dict': ...})`` after
+    tensor-ifying for full interop). Exact inverse of
+    :func:`import_vit_spatial_spectral`."""
+    out: Dict[str, np.ndarray] = {}
+    if model.blockwise_patch_embed:
+        _export_layernorm(params["to_patch_embedding"]["pre_norm"], "to_patch_embedding.pre_norm", out)
+        _export_layernorm(params["to_patch_embedding"]["post_norm"], "to_patch_embedding.post_norm", out)
+        kernel = np.asarray(params["to_patch_embedding"]["blockwise_kernel"])
+        bias = np.asarray(params["to_patch_embedding"]["blockwise_bias"])
+        for i in range(kernel.shape[0]):
+            out[f"to_patch_embedding.blockwise_embed.{i}.weight"] = kernel[i].T
+            out[f"to_patch_embedding.blockwise_embed.{i}.bias"] = bias[i]
+    else:
+        _export_layernorm(params["to_patch_embedding"]["pre_norm"], "to_patch_embedding.to_patch.1", out)
+        _export_linear(params["to_patch_embedding"]["proj"], "to_patch_embedding.embed.0", out)
+        _export_layernorm(params["to_patch_embedding"]["post_norm"], "to_patch_embedding.embed.1", out)
+
+    if model.spectral_pos_embed:
+        out["pos_embed"] = np.asarray(params["pos_embed"])
+        out["channel_embed"] = np.asarray(params["channel_embed"])
+    else:
+        out["pos_embedding"] = np.asarray(params["pos_embedding"])
+
+    if model.spectral_only:
+        _export_transformer(params["spectral_transformer"], "spatial_spectral_transformer.1", model.depth, out)
+    else:
+        _export_transformer(params["spatial_transformer"], "spatial_spectral_transformer.1", model.depth, out)
+        _export_transformer(params["spectral_transformer"], "spatial_spectral_transformer.3", model.depth, out)
+
+    linear_idx = 2 if model.pixelwise else 1
+    if "head_norm" in params:
+        _export_layernorm(params["head_norm"], "mlp_head.0", out)
+    if "head_linear" in params:
+        _export_linear(params["head_linear"], f"mlp_head.{linear_idx}", out)
+    return out

@@ -226,7 +226,25 @@ def _layer_bwd_kernel(
     # ---- recompute forward (identical masks regenerate from the PRNG) -----
     h1, z1, rsig1 = _ln_fwd_stats(x0, ln1s_ref[:], ln1b_ref[:])
     qkv = _mm(h1, wqkv_ref[:], compute_dtype)
-    O = _attn_fwd(qkv, drop, heads, dim_head, seq, g, compute_dtype)
+    # attention recompute, caching per-(row, head) weights for the backward
+    # loop (a [S, S] fp32 per instance — tiny at backward block sizes)
+    attn_cache = {}
+    row_outs = []
+    for bi in range(g):
+        qkv_b = qkv[bi * seq : (bi + 1) * seq]
+        head_outs = []
+        for hd in range(heads):
+            q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
+            k = qkv_b[:, inner + hd * dim_head : inner + (hd + 1) * dim_head]
+            v = qkv_b[:, 2 * inner + hd * dim_head : 2 * inner + (hd + 1) * dim_head]
+            sc = _mm(q, k, compute_dtype, trans_b=True)
+            a = jax.nn.softmax(sc * scale, axis=-1)
+            a_mask = drop.mask(a.shape, bi * heads + hd, _SITE_ATTN)
+            a_d = a * a_mask if a_mask is not None else a
+            attn_cache[(bi, hd)] = (a, a_d, a_mask)
+            head_outs.append(_mm(a_d, v, compute_dtype))
+        row_outs.append(jnp.concatenate(head_outs, axis=1))
+    O = jnp.concatenate(row_outs, axis=0)
     p1 = _mm(O, wout_ref[:], compute_dtype) + bout_ref[:].astype(jnp.float32)
     proj_mask = drop.mask(p1.shape, 0, _SITE_PROJ)
     if proj_mask is not None:
@@ -268,10 +286,7 @@ def _layer_bwd_kernel(
             q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
             k = qkv_b[:, inner + hd * dim_head : inner + (hd + 1) * dim_head]
             v = qkv_b[:, 2 * inner + hd * dim_head : 2 * inner + (hd + 1) * dim_head]
-            sc = _mm(q, k, compute_dtype, trans_b=True)
-            a = jax.nn.softmax(sc * scale, axis=-1)
-            a_mask = drop.mask(a.shape, bi * heads + hd, _SITE_ATTN)
-            a_d = a * a_mask if a_mask is not None else a
+            a, a_d, a_mask = attn_cache[(bi, hd)]
             do = dO_b[:, hd * dim_head : (hd + 1) * dim_head]
             da_d = _mm(do, v, compute_dtype, trans_b=True)
             dv = _mm(a_d, do, compute_dtype, trans_a=True)
