@@ -35,6 +35,54 @@ class _PatchChain(nn.Module):
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_post_norm")(x)
 
 
+class ViTOriginal(nn.Module):
+    """Classic cls/mean-pooled ViT classifier → [B, num_classes]
+    (reference ViT_original, src/vit_spatial_spectral.py:107-175; unused by
+    the reference drivers but part of its public surface)."""
+
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    pool: str = "cls"
+    channels: int = 3
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        assert self.pool in ("cls", "mean")
+        p1, p2 = _pair(self.patch_size)
+        b, c, hh, ww = img.shape
+        h, w = hh // p1, ww // p2
+        x = img.reshape(b, c, h, p1, w, p2).transpose(0, 2, 4, 3, 5, 1)
+        x = x.reshape(b, h * w, p1 * p2 * c)
+        x = _PatchChain(dim=self.dim, dtype=self.dtype, name="patch_chain")(x)
+
+        n = x.shape[1]
+        cls_token = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim))
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, h * w + 1, self.dim)
+        )
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype), (b, 1, self.dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos[:, : n + 1].astype(x.dtype)
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+        x = Transformer(
+            dim=self.dim, depth=self.depth, heads=self.heads, dim_head=self.dim_head,
+            mlp_dim=self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
+            name="transformer",
+        )(x, deterministic=deterministic)
+        x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="head_norm")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="head_linear")(x)
+
+
 class ViTRGB(nn.Module):
     image_size: int
     patch_size: int

@@ -251,6 +251,16 @@ class Pretrainer:
         losses = jax.lax.map(one, (jnp.arange(n // chunk), windows))
         return losses.mean()
 
+    def resume(self, path: str) -> int:
+        """Restore the FULL train state (params, optimizer moments, step,
+        RNG) from a checkpoint — exact resume, which the reference cannot do
+        (it never saves optimizer state, SURVEY.md §5.4). Returns the step."""
+        from maskedsst_tpu.train.checkpoint import restore_checkpoint
+
+        self.state = restore_checkpoint(path, self.state)
+        self.state = jax.device_put(self.state, self._replicated)
+        return int(self.state.step)
+
     # --- loop ---------------------------------------------------------------
     def fit(
         self,

@@ -26,6 +26,7 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None, help="stop after N steps")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (fp32 params)")
     parser.add_argument("--models-dir", default="models")
+    parser.add_argument("--resume", default=None, help="checkpoint to resume from (full state)")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = parser.parse_args()
 
@@ -50,6 +51,9 @@ def main() -> None:
     trainer = Pretrainer(config, dtype=jnp.bfloat16 if args.bf16 else None)
     print(f"devices: {jax.devices()}")
     print(f"model parameters: {trainer.num_params:,}")
+    if args.resume:
+        step = trainer.resume(args.resume)
+        print(f"resumed from {args.resume} at step {step}")
 
     tracker = Tracker("enmap-mim-spatial-spectral", config)
     history = trainer.fit(
