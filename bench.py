@@ -65,14 +65,18 @@ def main() -> None:
     state, losses = trainer._train_superstep(state, store.arrays["img"], staged[0])
     _ = float(losses[-1])
 
-    t0 = time.perf_counter()
+    # per-superstep timing with a sync each (median is robust to the host's
+    # 2x run-to-run throughput variance observed on shared/tunneled TPUs)
+    times = []
     for i in range(supersteps):
+        t0 = time.perf_counter()
         state, losses = trainer._train_superstep(state, store.arrays["img"], staged[i + 1])
-    _ = float(losses[-1])  # sync: the state chain forces every step to run
-    dt = time.perf_counter() - t0
+        _ = float(losses[-1])  # sync: the state chain forces every step to run
+        times.append(time.perf_counter() - t0)
+    import statistics
 
-    steps = supersteps * k
-    cubes_per_sec = steps * batch / dt
+    dt = statistics.median(times)
+    cubes_per_sec = k * batch / dt
     per_chip = cubes_per_sec / n_chips
     print(
         json.dumps(

@@ -154,14 +154,67 @@ class _DropoutCtx:
         return _keep_mask(shape, self.seed, self.base_row + local_row, site, self.rate)
 
 
+def _fold_heads(seq: int, heads: int) -> bool:
+    """Fold all heads of a row into ONE block-diagonal dot when the folded
+    size stays MXU-friendly — would replace `heads` tiny [S,dh]x[dh,S] dots
+    with a single [H*S, dh]x[dh, H*S] dot for short sequences. DISABLED:
+    current Mosaic rejects both the reshape ([S, I] → [S, H, dh], "unsupported
+    shape cast") and the slice+row-concat construction ("offset mismatch on
+    non-concat dimension"); revisit when the lowering supports either."""
+    return False
+
+
+def _split_qkv_folded(qkv_b, heads, dim_head, seq):
+    """qkv_b [S, 3I] → (q', k', v') each [H*S, dh] with head-major rows.
+    Built from lane slices + row concat (Mosaic cannot reshape-split the
+    128-lane axis)."""
+    inner = heads * dim_head
+
+    def fold(base):  # columns [base, base+inner) → [H*S, dh]
+        return jnp.concatenate(
+            [
+                qkv_b[:, base + h * dim_head : base + (h + 1) * dim_head]
+                for h in range(heads)
+            ],
+            axis=0,
+        )
+
+    return fold(0), fold(inner), fold(2 * inner)
+
+
+def _unfold_rows(t, heads, dim_head, seq):
+    """[H*S, dh] head-major rows → [S, I] (row slices + lane concat)."""
+    return jnp.concatenate(
+        [t[h * seq : (h + 1) * seq] for h in range(heads)], axis=1
+    )
+
+
+def _head_block_mask(heads: int, seq: int):
+    hs = heads * seq
+    row = jax.lax.broadcasted_iota(jnp.int32, (hs, hs), 0) // seq
+    col = jax.lax.broadcasted_iota(jnp.int32, (hs, hs), 1) // seq
+    return row == col
+
+
 def _attn_fwd(qkv, drop: _DropoutCtx, heads, dim_head, seq, g, compute_dtype):
     """qkv [G*S, 3I] → attention output [G*S, I] (dropout applied on attn
     weights when enabled)."""
     inner = heads * dim_head
     scale = dim_head**-0.5
+    folded = _fold_heads(seq, heads)
+    blk_mask = _head_block_mask(heads, seq) if folded else None
     row_outs = []
     for bi in range(g):
         qkv_b = qkv[bi * seq : (bi + 1) * seq]
+        if folded:
+            qf, kf, vf = _split_qkv_folded(qkv_b, heads, dim_head, seq)
+            s = _mm(qf, kf, compute_dtype, trans_b=True)  # [HS, HS]
+            s = jnp.where(blk_mask, s * scale, jnp.float32(-1e30))
+            a = jax.nn.softmax(s, axis=-1)
+            a = drop.apply(a, bi * heads, _SITE_ATTN)
+            o = _mm(a, vf, compute_dtype)  # [HS, dh]
+            row_outs.append(_unfold_rows(o, heads, dim_head, seq))
+            continue
         head_outs = []
         for hd in range(heads):
             q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
@@ -226,12 +279,24 @@ def _layer_bwd_kernel(
     # ---- recompute forward (identical masks regenerate from the PRNG) -----
     h1, z1, rsig1 = _ln_fwd_stats(x0, ln1s_ref[:], ln1b_ref[:])
     qkv = _mm(h1, wqkv_ref[:], compute_dtype)
-    # attention recompute, caching per-(row, head) weights for the backward
-    # loop (a [S, S] fp32 per instance — tiny at backward block sizes)
+    # attention recompute, caching weights for the backward loop
+    folded = _fold_heads(seq, heads)
+    blk_mask = _head_block_mask(heads, seq) if folded else None
     attn_cache = {}
     row_outs = []
     for bi in range(g):
         qkv_b = qkv[bi * seq : (bi + 1) * seq]
+        if folded:
+            qf, kf, vf = _split_qkv_folded(qkv_b, heads, dim_head, seq)
+            sc = _mm(qf, kf, compute_dtype, trans_b=True)
+            sc = jnp.where(blk_mask, sc * scale, jnp.float32(-1e30))
+            a = jax.nn.softmax(sc, axis=-1)
+            a_mask = drop.mask(a.shape, bi * heads, _SITE_ATTN)
+            a_d = a * a_mask if a_mask is not None else a
+            attn_cache[bi] = (qf, kf, vf, a, a_d, a_mask)
+            o = _mm(a_d, vf, compute_dtype)
+            row_outs.append(_unfold_rows(o, heads, dim_head, seq))
+            continue
         head_outs = []
         for hd in range(heads):
             q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
@@ -281,6 +346,34 @@ def _layer_bwd_kernel(
     for bi in range(g):
         qkv_b = qkv[bi * seq : (bi + 1) * seq]
         dO_b = dO[bi * seq : (bi + 1) * seq]
+        if folded:
+            qf, kf, vf, a, a_d, a_mask = attn_cache[bi]
+            dOf = jnp.concatenate(
+                [
+                    dO_b[:, h * dim_head : (h + 1) * dim_head]
+                    for h in range(heads)
+                ],
+                axis=0,
+            )
+            da_d = _mm(dOf, vf, compute_dtype, trans_b=True)
+            dvf = _mm(a_d, dOf, compute_dtype, trans_a=True)
+            da = da_d * a_mask if a_mask is not None else da_d
+            # off-diagonal blocks of `a` are exactly 0 (softmax of -1e30),
+            # which zeroes ds there — no explicit mask needed
+            ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * scale
+            dqf = _mm(ds, kf, compute_dtype)
+            dkf = _mm(ds, qf, compute_dtype, trans_a=True)
+            dqkv_rows.append(
+                jnp.concatenate(
+                    [
+                        _unfold_rows(dqf, heads, dim_head, seq),
+                        _unfold_rows(dkf, heads, dim_head, seq),
+                        _unfold_rows(dvf, heads, dim_head, seq),
+                    ],
+                    axis=1,
+                )
+            )
+            continue
         dq_h, dk_h, dv_h = [], [], []
         for hd in range(heads):
             q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
