@@ -436,10 +436,13 @@ def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _choose_block(batch, seq, heads, dim_head, budget):
-    inner = heads * dim_head
-    g = max(1, budget // (seq * 3 * inner * 4))
-    g = min(g, batch)
+def _choose_block(batch, seq, heads, dim_head, target: int = 4):
+    """Rows per grid step. Small blocks win: the per-head attention loop is
+    statically unrolled, so large blocks emit very long Mosaic programs that
+    pipeline worse than more, shorter grid steps (measured optimum ~4 rows
+    for both the spatial [1280,64,96] and spectral [4096,20,96] shapes;
+    2-3x faster than byte-budget-sized blocks)."""
+    g = min(target, batch)
     while batch % g:
         g -= 1
     return g
@@ -467,7 +470,7 @@ def fused_transformer_layer(
 
 def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret):
     b, s, d = x.shape
-    g = _choose_block(b, s, heads, dim_head, budget=6 * 1024 * 1024)
+    g = _choose_block(b, s, heads, dim_head)
     kernel = functools.partial(
         _layer_fwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
@@ -493,7 +496,7 @@ def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
 def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, residuals, grad_out):
     x, params, seed = residuals
     b, s, d = x.shape
-    g = _choose_block(b, s, heads, dim_head, budget=int(1.5 * 1024 * 1024))
+    g = _choose_block(b, s, heads, dim_head, target=2)
     kernel = functools.partial(
         _layer_bwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
