@@ -1,0 +1,86 @@
+"""Tensor-parallel sharding tests on the 8-virtual-device CPU mesh: rule
+assignment, a full dp x tp SimMIM train step, and numerical equivalence of
+the TP forward with the replicated forward."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from maskedsst_tpu.models import SimMIMSpatialSpectral, ViTSpatialSpectral
+from maskedsst_tpu.parallel.mesh import get_mesh
+from maskedsst_tpu.parallel.sharding_rules import place_params, tensor_parallel_shardings
+
+
+def _model():
+    enc = ViTSpatialSpectral(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10, num_classes=8,
+        dim=96, depth=2, heads=8, mlp_dim=64, channels=40,
+        spectral_pos=list(range(4)), fused=False,
+    )
+    return enc, SimMIMSpatialSpectral(
+        encoder=enc, masking_ratio=0.7, mask_patch_size=4, tube_masking=True,
+        to_pixels_per_spectral_block=True,
+    )
+
+
+def test_sharding_rules():
+    mesh = get_mesh(model_axis=2)
+    enc, mim = _model()
+    x = jnp.zeros((2, 40, 8, 8))
+    params = mim.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, x,
+        deterministic=True,
+    )["params"]
+    shardings = tensor_parallel_shardings(params, mesh, heads=8)
+    tf = shardings["encoder"]["spatial_transformer"]["layers_0"]
+    assert tf["attn"]["to_qkv"]["kernel"].spec == P(None, "model")
+    assert tf["attn"]["to_out"]["kernel"].spec == P("model", None)
+    assert tf["ff"]["fc1"]["kernel"].spec == P(None, "model")
+    assert tf["ff"]["fc2"]["kernel"].spec == P("model", None)
+    assert tf["attn_norm"]["scale"].spec == P()
+    assert shardings["mask_token"].spec == P()
+
+
+def test_tp_forward_matches_replicated():
+    mesh = get_mesh(model_axis=2)
+    enc, mim = _model()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 40, 8, 8)), jnp.float32)
+    params = jax.jit(functools.partial(mim.init, deterministic=True))(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, x
+    )["params"]
+
+    from maskedsst_tpu.ops.masking import MaskGenerator
+
+    bool_mask = MaskGenerator(8, 4, 1, 0.7).batch_masks(jax.random.PRNGKey(3), 4, 4, True)
+
+    loss_rep = float(
+        mim.apply({"params": params}, x, deterministic=True, bool_mask=bool_mask)
+    )
+    params_tp = place_params(params, mesh, heads=8)
+    batch_shard = NamedSharding(mesh, P("data"))
+    loss_tp = float(
+        jax.jit(
+            lambda p, img, bm: mim.apply(
+                {"params": p}, img, deterministic=True, bool_mask=bm
+            ),
+            in_shardings=(None, batch_shard, batch_shard),
+        )(params_tp, jax.device_put(x, batch_shard), jax.device_put(bool_mask, batch_shard))
+    )
+    np.testing.assert_allclose(loss_tp, loss_rep, rtol=1e-5)
+
+
+def test_dryrun_tensor_parallel():
+    import __graft_entry__ as ge
+    from maskedsst_tpu.config import get_pretrain_config
+
+    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    config.n_bands = 40
+    config.transformer_dim = 96
+    config.transformer_depth = 2
+    config.transformer_n_heads = 8
+    config.transformer_mlp_dim = 64
+    config.batch_size = 8
+    ge._dryrun_tensor_parallel(8, config)
