@@ -4,30 +4,34 @@ Why: at MaskedSST's shapes (dim 96, seq 64/20, heads 8x64) the XLA layer
 materializes the attention score/weight tensors in HBM with half-padded
 layouts (64 < 128 lanes), costing ~2-3 ms per sub-op per layer on hardware
 where the matmul FLOPs are essentially free. This kernel keeps the whole
-layer in VMEM: per grid block it computes LN1 → QKV → per-head softmax(QKᵀ)V
-(+ dropout) → output projection (+ dropout) → residual → LN2 → GELU MLP
-(+ dropouts) → residual, with only the [block, seq, dim] token slab moving
-through HBM.
+layer in VMEM: per grid block it computes LN1 → QKV → attention (+ dropout)
+→ output projection (+ dropout) → residual → LN2 → GELU MLP (+ dropouts) →
+residual, with only the [block, seq, dim] token slab moving through HBM.
+
+Attention runs LOOP-FREE with Mosaic's single-batch-dim ``tpu.matmul``: the
+QKV/output projections use head-major weight layouts ``[H, D, 3dh]`` /
+``[H, dh, D]`` (prepared from the canonical flax params outside the kernel —
+pure layout transforms), scores/AV batch over the merged (head, block-row)
+axis, and the output projection contracts per head then sums. No per-head
+Python unrolling — short Mosaic programs that pipeline well.
 
 Semantics match maskedsst_tpu.models.layers.TransformerBlock exactly
 (reference src/vit_spatial_spectral.py:22-104): LN eps 1e-5 with fp32
 statistics, exact (erf) GELU, fp32 softmax, fp32 MXU accumulation, and the
-reference's four dropout sites (attention weights, output projection, post-
-GELU, post-MLP) at the configured rate.
+reference's four dropout sites at the configured rate.
 
 Training runs fused end-to-end through a custom VJP: the backward kernel
 recomputes activations blockwise in VMEM and accumulates parameter gradients
 across sequential grid steps in fp32 output accumulators. Dropout masks are
 regenerated bit-exactly in the backward pass from the TPU PRNG, seeded by
-(layer seed, GLOBAL block-row index, site) — independent of the kernel's
-block partitioning, so forward and backward agree even with different block
-sizes.
+(layer seed, GLOBAL block index, site) — forward and backward use the same
+block size so the masks agree.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-5
 
-# dropout site ids (arbitrary distinct odd constants mixed into the seed)
+# dropout site ids (distinct constants mixed into the PRNG seed)
 _SITE_ATTN = 1
 _SITE_PROJ = 3
 _SITE_FF_MID = 5
@@ -57,6 +61,37 @@ class LayerParams(NamedTuple):
     b1: jax.Array  # [F]
     w2: jax.Array  # [F, D]
     b2: jax.Array  # [D]
+
+
+def _to_headmajor(params: LayerParams, heads: int, dim_head: int):
+    """Canonical ([D, 3I], [I, D]) weights → head-major ([H, D, 3dh],
+    [H, dh, D]) kernel layouts. Pure (differentiable) layout transforms."""
+    d = params.wqkv.shape[0]
+    wq, wk, wv = jnp.split(params.wqkv, 3, axis=1)
+
+    def heads_first(w):  # [D, I] → [H, D, dh]
+        return w.reshape(d, heads, dim_head).transpose(1, 0, 2)
+
+    wqkv3 = jnp.concatenate(
+        [heads_first(wq), heads_first(wk), heads_first(wv)], axis=-1
+    )  # [H, D, 3dh]
+    wout3 = params.wout.reshape(heads, dim_head, -1)  # [H, dh, D]
+    return wqkv3, wout3
+
+
+def _from_headmajor_grads(dwqkv3, dwout3, heads: int, dim_head: int):
+    """Inverse of :func:`_to_headmajor` for gradients."""
+    d = dwqkv3.shape[1]
+
+    def heads_back(w3):  # [H, D, dh] → [D, I]
+        return w3.transpose(1, 0, 2).reshape(d, heads * dim_head)
+
+    dq = heads_back(dwqkv3[:, :, :dim_head])
+    dk = heads_back(dwqkv3[:, :, dim_head : 2 * dim_head])
+    dv = heads_back(dwqkv3[:, :, 2 * dim_head :])
+    dwqkv = jnp.concatenate([dq, dk, dv], axis=1)  # [D, 3I]
+    dwout = dwout3.reshape(heads * dim_head, -1)  # [I, D]
+    return dwqkv, dwout
 
 
 def _erf(x):
@@ -120,11 +155,24 @@ def _mm(a, b, compute_dtype, trans_a=False, trans_b=False):
     )
 
 
-def _keep_mask(shape, seed, row, site, rate):
-    """Deterministic dropout keep-mask scaled by 1/(1-rate). Seeded by
-    (layer seed, global row, site) so fwd and bwd regenerate identical bits
-    regardless of grid blocking. Returns fp32 multiplier."""
-    mixed = seed + row * jnp.int32(-1640531527) + jnp.int32(site * 40503)
+def _bmm(a, b, compute_dtype, trans_a=False, trans_b=False):
+    """Batched matmul over leading dim: [B, M, K] x [B, K, N] → [B, M, N]
+    (Mosaic supports exactly one batch dim)."""
+    ca = 1 if trans_a else 2
+    cb = 2 if trans_b else 1
+    return jax.lax.dot_general(
+        a.astype(compute_dtype),
+        b.astype(compute_dtype),
+        (((ca,), (cb,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _keep_mask(shape, seed, block, site, rate):
+    """Deterministic dropout keep-mask scaled by 1/(1-rate); seeded by
+    (layer seed, global grid block, site) so the backward kernel regenerates
+    identical bits. Returns fp32 multiplier."""
+    mixed = seed + block * jnp.int32(-1640531527) + jnp.int32(site * 40503)
     pltpu.prng_seed(mixed)
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int(rate * (2**32)))
@@ -135,124 +183,68 @@ def _keep_mask(shape, seed, row, site, rate):
 class _DropoutCtx:
     """Per-kernel dropout helper; no-op when rate == 0 or eval."""
 
-    def __init__(self, seed_ref, base_row, rate: float, train: bool):
+    def __init__(self, seed_ref, rate: float, train: bool):
         self.enabled = train and rate > 0.0
         self.rate = rate
         if self.enabled:
             self.seed = seed_ref[0]
-        self.base_row = base_row  # global index of the block's first row
+        self.block = pl.program_id(0)
 
-    def apply(self, x, local_row, site):
+    def apply(self, x, site):
         if not self.enabled:
             return x
-        mask = _keep_mask(x.shape, self.seed, self.base_row + local_row, site, self.rate)
-        return x * mask
+        return x * _keep_mask(x.shape, self.seed, self.block, site, self.rate)
 
-    def mask(self, shape, local_row, site):
+    def mask(self, shape, site):
         if not self.enabled:
             return None
-        return _keep_mask(shape, self.seed, self.base_row + local_row, site, self.rate)
+        return _keep_mask(shape, self.seed, self.block, site, self.rate)
 
 
-def _fold_heads(seq: int, heads: int) -> bool:
-    """Fold all heads of a row into ONE block-diagonal dot when the folded
-    size stays MXU-friendly — would replace `heads` tiny [S,dh]x[dh,S] dots
-    with a single [H*S, dh]x[dh, H*S] dot for short sequences. DISABLED:
-    current Mosaic rejects both the reshape ([S, I] → [S, H, dh], "unsupported
-    shape cast") and the slice+row-concat construction ("offset mismatch on
-    non-concat dimension"); revisit when the lowering supports either."""
-    return False
-
-
-def _split_qkv_folded(qkv_b, heads, dim_head, seq):
-    """qkv_b [S, 3I] → (q', k', v') each [H*S, dh] with head-major rows.
-    Built from lane slices + row concat (Mosaic cannot reshape-split the
-    128-lane axis)."""
-    inner = heads * dim_head
-
-    def fold(base):  # columns [base, base+inner) → [H*S, dh]
-        return jnp.concatenate(
-            [
-                qkv_b[:, base + h * dim_head : base + (h + 1) * dim_head]
-                for h in range(heads)
-            ],
-            axis=0,
-        )
-
-    return fold(0), fold(inner), fold(2 * inner)
-
-
-def _unfold_rows(t, heads, dim_head, seq):
-    """[H*S, dh] head-major rows → [S, I] (row slices + lane concat)."""
-    return jnp.concatenate(
-        [t[h * seq : (h + 1) * seq] for h in range(heads)], axis=1
-    )
-
-
-def _head_block_mask(heads: int, seq: int):
-    hs = heads * seq
-    row = jax.lax.broadcasted_iota(jnp.int32, (hs, hs), 0) // seq
-    col = jax.lax.broadcasted_iota(jnp.int32, (hs, hs), 1) // seq
-    return row == col
-
-
-def _attn_fwd(qkv, drop: _DropoutCtx, heads, dim_head, seq, g, compute_dtype):
-    """qkv [G*S, 3I] → attention output [G*S, I] (dropout applied on attn
-    weights when enabled)."""
-    inner = heads * dim_head
+def _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, seq, g, compute_dtype, want_cache=False):
+    """h [G*S, D] layer-normed tokens → (attention heads output
+    [H, G*S, dh], cache) — fully batched, no per-head loops."""
+    gs = h.shape[0]
     scale = dim_head**-0.5
-    folded = _fold_heads(seq, heads)
-    blk_mask = _head_block_mask(heads, seq) if folded else None
-    row_outs = []
-    for bi in range(g):
-        qkv_b = qkv[bi * seq : (bi + 1) * seq]
-        if folded:
-            qf, kf, vf = _split_qkv_folded(qkv_b, heads, dim_head, seq)
-            s = _mm(qf, kf, compute_dtype, trans_b=True)  # [HS, HS]
-            s = jnp.where(blk_mask, s * scale, jnp.float32(-1e30))
-            a = jax.nn.softmax(s, axis=-1)
-            a = drop.apply(a, bi * heads, _SITE_ATTN)
-            o = _mm(a, vf, compute_dtype)  # [HS, dh]
-            row_outs.append(_unfold_rows(o, heads, dim_head, seq))
-            continue
-        head_outs = []
-        for hd in range(heads):
-            q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
-            k = qkv_b[:, inner + hd * dim_head : inner + (hd + 1) * dim_head]
-            v = qkv_b[:, 2 * inner + hd * dim_head : 2 * inner + (hd + 1) * dim_head]
-            s = _mm(q, k, compute_dtype, trans_b=True)
-            a = jax.nn.softmax(s * scale, axis=-1)
-            a = drop.apply(a, bi * heads + hd, _SITE_ATTN)
-            head_outs.append(_mm(a, v, compute_dtype))
-        row_outs.append(jnp.concatenate(head_outs, axis=1))
-    return jnp.concatenate(row_outs, axis=0)
+    hb = jnp.broadcast_to(h.astype(compute_dtype)[None], (heads, gs, h.shape[1]))
+    qkvh = _bmm(hb, wqkv3_ref[:], compute_dtype)  # [H, GS, 3dh]
+    q = qkvh[:, :, :dim_head].reshape(heads * g, seq, dim_head)
+    k = qkvh[:, :, dim_head : 2 * dim_head].reshape(heads * g, seq, dim_head)
+    v = qkvh[:, :, 2 * dim_head :].reshape(heads * g, seq, dim_head)
+    s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG, S, S]
+    a = jax.nn.softmax(s * scale, axis=-1)
+    a_mask = drop.mask(a.shape, _SITE_ATTN)
+    a_d = a * a_mask if a_mask is not None else a
+    o = _bmm(a_d, v, compute_dtype)  # [HG, S, dh]
+    o = o.reshape(heads, gs, dim_head)
+    cache = (qkvh, q, k, v, a, a_d, a_mask) if want_cache else None
+    return o, cache
 
 
 def _layer_fwd_kernel(
     seed_ref,
     x_ref,
-    ln1s_ref, ln1b_ref, wqkv_ref, wout_ref, bout_ref,
+    ln1s_ref, ln1b_ref, wqkv3_ref, wout3_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
     *, heads, dim_head, seq, compute_dtype, dropout_rate, train,
 ):
     g, s, d = x_ref.shape
-    base_row = pl.program_id(0) * g
-    drop = _DropoutCtx(seed_ref, base_row, dropout_rate, train)
+    drop = _DropoutCtx(seed_ref, dropout_rate, train)
     x = x_ref[:].reshape(g * s, d).astype(jnp.float32)
 
     h = _ln(x, ln1s_ref[:], ln1b_ref[:])
-    qkv = _mm(h, wqkv_ref[:], compute_dtype)
-    attn = _attn_fwd(qkv, drop, heads, dim_head, seq, g, compute_dtype)
-    proj = _mm(attn, wout_ref[:], compute_dtype) + bout_ref[:].astype(jnp.float32)
-    proj = drop.apply(proj, 0, _SITE_PROJ)
+    o_heads, _ = _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype)
+    proj = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0)  # [GS, D]
+    proj = proj + bout_ref[:].astype(jnp.float32)
+    proj = drop.apply(proj, _SITE_PROJ)
     x = x + proj
 
     h2 = _ln(x, ln2s_ref[:], ln2b_ref[:])
     hid = _gelu_exact(_mm(h2, w1_ref[:], compute_dtype) + b1_ref[:].astype(jnp.float32))
-    hid = drop.apply(hid, 0, _SITE_FF_MID)
+    hid = drop.apply(hid, _SITE_FF_MID)
     ff = _mm(hid, w2_ref[:], compute_dtype) + b2_ref[:].astype(jnp.float32)
-    ff = drop.apply(ff, 0, _SITE_FF_OUT)
+    ff = drop.apply(ff, _SITE_FF_OUT)
     x = x + ff
 
     o_ref[:] = x.reshape(g, s, d).astype(o_ref.dtype)
@@ -261,70 +253,39 @@ def _layer_fwd_kernel(
 def _layer_bwd_kernel(
     seed_ref,
     x_ref, dy_ref,
-    ln1s_ref, ln1b_ref, wqkv_ref, wout_ref, bout_ref,
+    ln1s_ref, ln1b_ref, wqkv3_ref, wout3_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dx_ref,
-    dln1s_ref, dln1b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+    dln1s_ref, dln1b_ref, dwqkv3_ref, dwout3_ref, dbout_ref,
     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, heads, dim_head, seq, compute_dtype, dropout_rate, train,
 ):
     g, s, d = x_ref.shape
-    inner = heads * dim_head
+    gs = g * s
     scale = dim_head**-0.5
-    base_row = pl.program_id(0) * g
-    drop = _DropoutCtx(seed_ref, base_row, dropout_rate, train)
-    x0 = x_ref[:].reshape(g * s, d).astype(jnp.float32)
-    dy = dy_ref[:].reshape(g * s, d).astype(jnp.float32)
+    drop = _DropoutCtx(seed_ref, dropout_rate, train)
+    x0 = x_ref[:].reshape(gs, d).astype(jnp.float32)
+    dy = dy_ref[:].reshape(gs, d).astype(jnp.float32)
 
     # ---- recompute forward (identical masks regenerate from the PRNG) -----
     h1, z1, rsig1 = _ln_fwd_stats(x0, ln1s_ref[:], ln1b_ref[:])
-    qkv = _mm(h1, wqkv_ref[:], compute_dtype)
-    # attention recompute, caching weights for the backward loop
-    folded = _fold_heads(seq, heads)
-    blk_mask = _head_block_mask(heads, seq) if folded else None
-    attn_cache = {}
-    row_outs = []
-    for bi in range(g):
-        qkv_b = qkv[bi * seq : (bi + 1) * seq]
-        if folded:
-            qf, kf, vf = _split_qkv_folded(qkv_b, heads, dim_head, seq)
-            sc = _mm(qf, kf, compute_dtype, trans_b=True)
-            sc = jnp.where(blk_mask, sc * scale, jnp.float32(-1e30))
-            a = jax.nn.softmax(sc, axis=-1)
-            a_mask = drop.mask(a.shape, bi * heads, _SITE_ATTN)
-            a_d = a * a_mask if a_mask is not None else a
-            attn_cache[bi] = (qf, kf, vf, a, a_d, a_mask)
-            o = _mm(a_d, vf, compute_dtype)
-            row_outs.append(_unfold_rows(o, heads, dim_head, seq))
-            continue
-        head_outs = []
-        for hd in range(heads):
-            q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
-            k = qkv_b[:, inner + hd * dim_head : inner + (hd + 1) * dim_head]
-            v = qkv_b[:, 2 * inner + hd * dim_head : 2 * inner + (hd + 1) * dim_head]
-            sc = _mm(q, k, compute_dtype, trans_b=True)
-            a = jax.nn.softmax(sc * scale, axis=-1)
-            a_mask = drop.mask(a.shape, bi * heads + hd, _SITE_ATTN)
-            a_d = a * a_mask if a_mask is not None else a
-            attn_cache[(bi, hd)] = (a, a_d, a_mask)
-            head_outs.append(_mm(a_d, v, compute_dtype))
-        row_outs.append(jnp.concatenate(head_outs, axis=1))
-    O = jnp.concatenate(row_outs, axis=0)
-    p1 = _mm(O, wout_ref[:], compute_dtype) + bout_ref[:].astype(jnp.float32)
-    proj_mask = drop.mask(p1.shape, 0, _SITE_PROJ)
+    o_heads, cache = _attn_fwd(
+        h1, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype, want_cache=True
+    )
+    qkvh, q, k, v, a, a_d, a_mask = cache
+    p1 = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0) + bout_ref[:].astype(jnp.float32)
+    proj_mask = drop.mask(p1.shape, _SITE_PROJ)
     if proj_mask is not None:
         p1 = p1 * proj_mask
     x1 = x0 + p1
     h2, z2, rsig2 = _ln_fwd_stats(x1, ln2s_ref[:], ln2b_ref[:])
     u = _mm(h2, w1_ref[:], compute_dtype) + b1_ref[:].astype(jnp.float32)
     gact = _gelu_exact(u)
-    mid_mask = drop.mask(gact.shape, 0, _SITE_FF_MID)
+    mid_mask = drop.mask(gact.shape, _SITE_FF_MID)
     gd = gact * mid_mask if mid_mask is not None else gact
-    # (ff output mask regenerated below where needed)
 
     # ---- backward ---------------------------------------------------------
-    # y = x1 + drop(gd @ W2 + b2)
-    out_mask = drop.mask((g * s, d), 0, _SITE_FF_OUT)
+    out_mask = drop.mask((gs, d), _SITE_FF_OUT)
     dp2 = dy * out_mask if out_mask is not None else dy
     db2 = jnp.sum(dp2, axis=0)
     dw2 = _mm(gd, dp2, compute_dtype, trans_a=True)
@@ -339,65 +300,29 @@ def _layer_bwd_kernel(
 
     dp1 = dx1 * proj_mask if proj_mask is not None else dx1
     dbout = jnp.sum(dp1, axis=0)
-    dwout = _mm(O, dp1, compute_dtype, trans_a=True)
-    dO = _mm(dp1, wout_ref[:], compute_dtype, trans_b=True)
+    dp1b = jnp.broadcast_to(dp1[None], (heads, gs, d))
+    dwout3 = _bmm(o_heads, dp1b, compute_dtype, trans_a=True)  # [H, dh, D]
+    dOh = _bmm(dp1b, wout3_ref[:], compute_dtype, trans_b=True)  # [H, GS, dh]
 
-    dqkv_rows = []
-    for bi in range(g):
-        qkv_b = qkv[bi * seq : (bi + 1) * seq]
-        dO_b = dO[bi * seq : (bi + 1) * seq]
-        if folded:
-            qf, kf, vf, a, a_d, a_mask = attn_cache[bi]
-            dOf = jnp.concatenate(
-                [
-                    dO_b[:, h * dim_head : (h + 1) * dim_head]
-                    for h in range(heads)
-                ],
-                axis=0,
-            )
-            da_d = _mm(dOf, vf, compute_dtype, trans_b=True)
-            dvf = _mm(a_d, dOf, compute_dtype, trans_a=True)
-            da = da_d * a_mask if a_mask is not None else da_d
-            # off-diagonal blocks of `a` are exactly 0 (softmax of -1e30),
-            # which zeroes ds there — no explicit mask needed
-            ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * scale
-            dqf = _mm(ds, kf, compute_dtype)
-            dkf = _mm(ds, qf, compute_dtype, trans_a=True)
-            dqkv_rows.append(
-                jnp.concatenate(
-                    [
-                        _unfold_rows(dqf, heads, dim_head, seq),
-                        _unfold_rows(dkf, heads, dim_head, seq),
-                        _unfold_rows(dvf, heads, dim_head, seq),
-                    ],
-                    axis=1,
-                )
-            )
-            continue
-        dq_h, dk_h, dv_h = [], [], []
-        for hd in range(heads):
-            q = qkv_b[:, hd * dim_head : (hd + 1) * dim_head]
-            k = qkv_b[:, inner + hd * dim_head : inner + (hd + 1) * dim_head]
-            v = qkv_b[:, 2 * inner + hd * dim_head : 2 * inner + (hd + 1) * dim_head]
-            a, a_d, a_mask = attn_cache[(bi, hd)]
-            do = dO_b[:, hd * dim_head : (hd + 1) * dim_head]
-            da_d = _mm(do, v, compute_dtype, trans_b=True)
-            dv = _mm(a_d, do, compute_dtype, trans_a=True)
-            da = da_d * a_mask if a_mask is not None else da_d
-            ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * scale
-            dq_h.append(_mm(ds, k, compute_dtype))
-            dk_h.append(_mm(ds, q, compute_dtype, trans_a=True))
-            dv_h.append(dv)
-        dqkv_rows.append(
-            jnp.concatenate(
-                [jnp.concatenate(dq_h, 1), jnp.concatenate(dk_h, 1), jnp.concatenate(dv_h, 1)],
-                axis=1,
-            )
-        )
-    dqkv = jnp.concatenate(dqkv_rows, axis=0)
+    dO = dOh.reshape(heads * g, s, dim_head)
+    da_d = _bmm(dO, v, compute_dtype, trans_b=True)  # [HG, S, S]
+    dv = _bmm(a_d, dO, compute_dtype, trans_a=True)  # [HG, S, dh]
+    da = da_d * a_mask if a_mask is not None else da_d
+    ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * scale
+    dq = _bmm(ds, k, compute_dtype)  # [HG, S, dh]
+    dk = _bmm(ds, q, compute_dtype, trans_a=True)
 
-    dwqkv = _mm(h1, dqkv, compute_dtype, trans_a=True)
-    dh1 = _mm(dqkv, wqkv_ref[:], compute_dtype, trans_b=True)
+    dqkvh = jnp.concatenate(
+        [
+            dq.reshape(heads, gs, dim_head),
+            dk.reshape(heads, gs, dim_head),
+            dv.reshape(heads, gs, dim_head),
+        ],
+        axis=-1,
+    )  # [H, GS, 3dh]
+    h1b = jnp.broadcast_to(h1.astype(compute_dtype)[None], (heads, gs, d))
+    dwqkv3 = _bmm(h1b, dqkvh, compute_dtype, trans_a=True)  # [H, D, 3dh]
+    dh1 = jnp.sum(_bmm(dqkvh, wqkv3_ref[:], compute_dtype, trans_b=True), axis=0)
     dx0_ln, dln1s, dln1b = _ln_bwd(dh1, z1, rsig1, ln1s_ref[:])
     dx0 = dx1 + dx0_ln
 
@@ -417,8 +342,8 @@ def _layer_bwd_kernel(
 
     acc(dln1s_ref, dln1s)
     acc(dln1b_ref, dln1b)
-    acc(dwqkv_ref, dwqkv)
-    acc(dwout_ref, dwout)
+    acc(dwqkv3_ref, dwqkv3)
+    acc(dwout3_ref, dwout3)
     acc(dbout_ref, dbout)
     acc(dln2s_ref, dln2s)
     acc(dln2b_ref, dln2b)
@@ -436,12 +361,12 @@ def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _choose_block(batch, seq, heads, dim_head, target: int = 4):
-    """Rows per grid step. Small blocks win: the per-head attention loop is
-    statically unrolled, so large blocks emit very long Mosaic programs that
-    pipeline worse than more, shorter grid steps (measured optimum ~4 rows
-    for both the spatial [1280,64,96] and spectral [4096,20,96] shapes;
-    2-3x faster than byte-budget-sized blocks)."""
+def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16):
+    """Rows per grid step: measured optimum ~8 rows for the loop-free batched
+    kernels at both factorized shapes (larger blocks exhaust the 16 MB scoped
+    VMEM in the backward kernel). fp32 compute doubles every matmul operand,
+    so it gets half the rows."""
+    target = 4 if jnp.dtype(compute_dtype).itemsize >= 4 else 8
     g = min(target, batch)
     while batch % g:
         g -= 1
@@ -468,14 +393,25 @@ def fused_transformer_layer(
     return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret)
 
 
+def _kernel_inputs(x, params, seed, heads, dim_head):
+    wqkv3, wout3 = _to_headmajor(params, heads, dim_head)
+    tensors = (
+        params.ln1_scale, params.ln1_bias, wqkv3, wout3, params.bout,
+        params.ln2_scale, params.ln2_bias, params.w1, params.b1,
+        params.w2, params.b2,
+    )
+    return jnp.asarray(seed, jnp.int32).reshape(1), tensors
+
+
 def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret):
     b, s, d = x.shape
-    g = _choose_block(b, s, heads, dim_head)
+    g = _choose_block(b, s, heads, dim_head, compute_dtype)
     kernel = functools.partial(
         _layer_fwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
     )
+    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
@@ -485,7 +421,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         + _param_specs(),
         out_specs=pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x, *params)
+    )(seed_arr, x, *tensors)
 
 
 def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret):
@@ -496,17 +432,33 @@ def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
 def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, residuals, grad_out):
     x, params, seed = residuals
     b, s, d = x.shape
-    g = _choose_block(b, s, heads, dim_head, target=2)
+    # the same block size as the forward keeps program_id-based dropout
+    # seeding consistent between the passes
+    g = _choose_block(b, s, heads, dim_head, compute_dtype)
     kernel = functools.partial(
         _layer_bwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
     )
-    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params]
+    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
+    inner = heads * dim_head
+    grad_shapes = [
+        jax.ShapeDtypeStruct(params.ln1_scale.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.ln1_bias.shape, jnp.float32),
+        jax.ShapeDtypeStruct((heads, d, 3 * dim_head), jnp.float32),
+        jax.ShapeDtypeStruct((heads, dim_head, d), jnp.float32),
+        jax.ShapeDtypeStruct(params.bout.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.ln2_scale.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.ln2_bias.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.w1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.b1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.w2.shape, jnp.float32),
+        jax.ShapeDtypeStruct(params.b2.shape, jnp.float32),
+    ]
     out_shapes = [jax.ShapeDtypeStruct((b, s, d), x.dtype)] + grad_shapes
     out_specs = [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] + [
-        pl.BlockSpec(p.shape, (lambda nd: (lambda i: (0,) * nd))(p.ndim), memory_space=pltpu.VMEM)
-        for p in params
+        pl.BlockSpec(sh.shape, (lambda nd: (lambda i: (0,) * nd))(len(sh.shape)), memory_space=pltpu.VMEM)
+        for sh in grad_shapes
     ]
     outs = pl.pallas_call(
         kernel,
@@ -517,9 +469,23 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, re
         + _param_specs(),
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x, grad_out, *params)
+    )(seed_arr, x, grad_out, *tensors)
     dx = outs[0]
-    gp = LayerParams(*[gv.astype(p.dtype) for gv, p in zip(outs[1:], params)])
+    (dln1s, dln1b, dwqkv3, dwout3, dbout, dln2s, dln2b, dw1, db1, dw2, db2) = outs[1:]
+    dwqkv, dwout = _from_headmajor_grads(dwqkv3, dwout3, heads, dim_head)
+    gp = LayerParams(
+        ln1_scale=dln1s.astype(params.ln1_scale.dtype),
+        ln1_bias=dln1b.astype(params.ln1_bias.dtype),
+        wqkv=dwqkv.astype(params.wqkv.dtype),
+        wout=dwout.astype(params.wout.dtype),
+        bout=dbout.astype(params.bout.dtype),
+        ln2_scale=dln2s.astype(params.ln2_scale.dtype),
+        ln2_bias=dln2b.astype(params.ln2_bias.dtype),
+        w1=dw1.astype(params.w1.dtype),
+        b1=db1.astype(params.b1.dtype),
+        w2=dw2.astype(params.w2.dtype),
+        b2=db2.astype(params.b2.dtype),
+    )
     return dx, gp, None
 
 
