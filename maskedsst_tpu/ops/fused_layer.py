@@ -201,21 +201,52 @@ class _DropoutCtx:
         return _keep_mask(shape, self.seed, self.block, site, self.rate)
 
 
+def _choose_fold(seq: int, g: int) -> int:
+    """Sequences folded into one block-diagonal attention dot. Short folded
+    axes waste MXU lanes (S=20 pads to 128); folding f sequences gives
+    [f*S, f*S] scores with a block-diagonal mask — extra FLOPs off the
+    diagonal are free next to the lane-utilization win. Padded VMEM use is
+    unchanged (f*S ≤ 128 still occupies one 128-lane tile). Folding is a
+    measured win only for short sequences (seq 20: −31% layer time); at
+    seq 64 it is a wash, so sequences ≥ 32 are left unfolded."""
+    fold = 1
+    f = 2
+    while seq < 32 and f <= g and g % f == 0 and f * seq <= 128:
+        fold, f = f, f * 2
+    return fold
+
+
+def _block_diag_mask(fold: int, seq: int):
+    fs = fold * seq
+    row = jax.lax.broadcasted_iota(jnp.int32, (fs, fs), 0) // seq
+    col = jax.lax.broadcasted_iota(jnp.int32, (fs, fs), 1) // seq
+    return (row == col)[None]  # [1, fS, fS], broadcast over batch
+
+
 def _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, seq, g, compute_dtype, want_cache=False):
     """h [G*S, D] layer-normed tokens → (attention heads output
-    [H, G*S, dh], cache) — fully batched, no per-head loops."""
+    [H, G*S, dh], cache) — fully batched, no per-head loops. `fold`
+    independent sequences share one block-diagonal scores matmul; masked
+    (−1e30) off-diagonal softmax terms are exactly 0, so results equal the
+    per-sequence computation."""
     gs = h.shape[0]
     scale = dim_head**-0.5
+    fold = _choose_fold(seq, g)
     hb = jnp.broadcast_to(h.astype(compute_dtype)[None], (heads, gs, h.shape[1]))
     qkvh = _bmm(hb, wqkv3_ref[:], compute_dtype)  # [H, GS, 3dh]
-    q = qkvh[:, :, :dim_head].reshape(heads * g, seq, dim_head)
-    k = qkvh[:, :, dim_head : 2 * dim_head].reshape(heads * g, seq, dim_head)
-    v = qkvh[:, :, 2 * dim_head :].reshape(heads * g, seq, dim_head)
-    s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG, S, S]
-    a = jax.nn.softmax(s * scale, axis=-1)
+    nb, fs = heads * g // fold, fold * seq
+    q = qkvh[:, :, :dim_head].reshape(nb, fs, dim_head)
+    k = qkvh[:, :, dim_head : 2 * dim_head].reshape(nb, fs, dim_head)
+    v = qkvh[:, :, 2 * dim_head :].reshape(nb, fs, dim_head)
+    s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
+    if fold > 1:
+        s = jnp.where(_block_diag_mask(fold, seq), s * scale, jnp.float32(-1e30))
+        a = jax.nn.softmax(s, axis=-1)
+    else:
+        a = jax.nn.softmax(s * scale, axis=-1)
     a_mask = drop.mask(a.shape, _SITE_ATTN)
     a_d = a * a_mask if a_mask is not None else a
-    o = _bmm(a_d, v, compute_dtype)  # [HG, S, dh]
+    o = _bmm(a_d, v, compute_dtype)  # [HG/f, fS, dh]
     o = o.reshape(heads, gs, dim_head)
     cache = (qkvh, q, k, v, a, a_d, a_mask) if want_cache else None
     return o, cache
@@ -304,12 +335,15 @@ def _layer_bwd_kernel(
     dwout3 = _bmm(o_heads, dp1b, compute_dtype, trans_a=True)  # [H, dh, D]
     dOh = _bmm(dp1b, wout3_ref[:], compute_dtype, trans_b=True)  # [H, GS, dh]
 
-    dO = dOh.reshape(heads * g, s, dim_head)
-    da_d = _bmm(dO, v, compute_dtype, trans_b=True)  # [HG, S, S]
-    dv = _bmm(a_d, dO, compute_dtype, trans_a=True)  # [HG, S, dh]
+    # folded layout matches _attn_fwd; off-diagonal blocks of `a` are exactly
+    # 0 (softmax of -1e30), which zeroes `ds` there — no explicit mask needed
+    fold = _choose_fold(s, g)
+    dO = dOh.reshape(heads * g // fold, fold * s, dim_head)
+    da_d = _bmm(dO, v, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
+    dv = _bmm(a_d, dO, compute_dtype, trans_a=True)  # [HG/f, fS, dh]
     da = da_d * a_mask if a_mask is not None else da_d
     ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * scale
-    dq = _bmm(ds, k, compute_dtype)  # [HG, S, dh]
+    dq = _bmm(ds, k, compute_dtype)  # [HG/f, fS, dh]
     dk = _bmm(ds, q, compute_dtype, trans_a=True)
 
     dqkvh = jnp.concatenate(
@@ -362,11 +396,14 @@ def _seed_spec():
 
 
 def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16):
-    """Rows per grid step: measured optimum ~8 rows for the loop-free batched
-    kernels at both factorized shapes (larger blocks exhaust the 16 MB scoped
-    VMEM in the backward kernel). fp32 compute doubles every matmul operand,
-    so it gets half the rows."""
-    target = 4 if jnp.dtype(compute_dtype).itemsize >= 4 else 8
+    """Rows per grid step (measured optima on v5e): ~8 rows at seq 64, ~16 at
+    seq 20 — short sequences carry less work per row, and folding (see
+    :func:`_choose_fold`) keeps the score tiles compact, so more rows fit
+    before the backward kernel exhausts the 16 MB scoped VMEM. fp32 compute
+    doubles every matmul operand, so it gets half the rows."""
+    target = 8 if seq >= 32 else 16
+    if jnp.dtype(compute_dtype).itemsize >= 4:
+        target //= 2
     g = min(target, batch)
     while batch % g:
         g -= 1
