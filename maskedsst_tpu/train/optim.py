@@ -41,6 +41,30 @@ def _adam_l2_core(learning_rate: float, weight_decay: float) -> optax.GradientTr
     )
 
 
+def flatten_transform(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``tx`` over one ravelled parameter vector instead of per-leaf.
+
+    Leaf-wise optax updates issue ~6 small HLO ops per parameter leaf; at the
+    reference model's ~50 leaves that is hundreds of tiny dispatches costing
+    ~1.8 ms/step on the measured backend — more than the optimizer math. One
+    flat [N] leaf makes each transform a single fused pass. Hyperparameter
+    injection still works (state structure is unchanged); per-group
+    transforms (multi_transform) must NOT be wrapped — labels would collapse
+    to the single flat leaf."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        return tx.init(ravel_pytree(params)[0])
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        flat_p = ravel_pytree(params)[0] if params is not None else None
+        upd, state = tx.update(flat_g, state, flat_p)
+        return unravel(upd), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     name: str,
     learning_rate: float,
@@ -51,6 +75,7 @@ def build_optimizer(
     head_label_fn: Optional[Callable[[tuple], bool]] = None,
     linear_eval: bool = False,
     momentum: float = 0.0,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """Build the optax chain for a reference recipe.
 
@@ -114,6 +139,9 @@ def build_optimizer(
 
     if grad_clamp is not None:
         tx = optax.chain(optax.clip(grad_clamp), tx)
+    if flatten:
+        assert not needs_groups, "flatten is incompatible with param groups"
+        tx = flatten_transform(tx)
     return tx
 
 

@@ -104,6 +104,7 @@ class Pretrainer:
             config.lr,
             config.weight_decay,
             grad_clamp=1.0 if config.get("clip_grad_norm") else None,
+            flatten=True,  # one fused pass instead of ~6 ops per param leaf
         )
         rng = jax.random.PRNGKey(config.get("seed", 5))
         init_rng, state_rng = jax.random.split(rng)
@@ -187,7 +188,9 @@ class Pretrainer:
             )
         else:
             img = tiles[:, :, :s, :s]
+        return self._update(state, img, rng, mask_rng, drop_rng, train)
 
+    def _update(self, state: TrainState, img, rng, mask_rng, drop_rng, train: bool):
         loss, grads = jax.value_and_grad(self._loss)(
             state.params, img, mask_rng, drop_rng, train
         )
@@ -203,10 +206,30 @@ class Pretrainer:
         batch = jnp.take(store_tiles, idx, axis=0)
         return jax.lax.with_sharding_constraint(batch, self._batch_shard)
 
+    def _gather_crop(self, store_tiles, idx, xy, s: int):
+        """Fused gather + crop: reads only the [B, C, s, s] crop windows from
+        the HBM store instead of whole tiles (full 64x64 tiles would move
+        ~32x more bytes — measured ~2 ms/step at the reference recipe)."""
+        c = store_tiles.shape[1]
+
+        def one(i):
+            return jax.lax.dynamic_slice(
+                store_tiles, (i, 0, xy[0], xy[1]), (1, c, s, s)
+            )[0]
+
+        batch = jax.vmap(one)(idx)
+        return jax.lax.with_sharding_constraint(batch, self._batch_shard)
+
     def _step_idx(self, state: TrainState, store_tiles, idx, *, crop: bool, train: bool):
-        return self._step(
-            state, self._gather(store_tiles, idx), crop=crop, train=train
-        )
+        rng, crop_rng, mask_rng, drop_rng = jax.random.split(state.rng, 4)
+        s = self.config.image_size
+        if crop:
+            # same key/draw order as _step: identical crop distribution
+            xy = jax.random.randint(crop_rng, (2,), 0, self.tile_size - s)
+            img = self._gather_crop(store_tiles, idx, xy, s)
+        else:
+            img = self._gather(store_tiles, idx)[:, :, :s, :s]
+        return self._update(state, img, rng, mask_rng, drop_rng, train)
 
     def _step_val_idx(self, state: TrainState, store_tiles, idx, mask_rng):
         return self._step_val(state, self._gather(store_tiles, idx), mask_rng)
