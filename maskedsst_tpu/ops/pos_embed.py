@@ -55,3 +55,47 @@ def get_2d_sincos_pos_embed(
     if cls_token:
         pos_embed = np.concatenate([np.zeros([1, embed_dim], np.float32), pos_embed], 0)
     return pos_embed
+
+
+def interpolate_pos_embed(pos_embed: np.ndarray, new_grid_size: int, num_extra_tokens: int = 0) -> np.ndarray:
+    """Resize a learned positional table to a new square grid resolution.
+
+    Functional equivalent of the reference's checkpoint surgery
+    (src/pos_embed.py:92-125, the DeiT recipe): the leading
+    ``num_extra_tokens`` rows (cls/dist tokens) pass through unchanged and
+    the remaining rows are treated as a [S, S, D] grid and resampled
+    bicubically to [S', S', D]. The reference mutates a torch state dict
+    in-place; here it is a pure array → array function used by the
+    checkpoint importer. (torch's bicubic uses the a=-0.75 kernel,
+    jax.image's cubic the Keys a=-0.5 kernel — resampled tables differ in
+    the 3rd decimal; both are resolution-transfer heuristics, not
+    checkpoint-parity paths.)
+
+    Args:
+      pos_embed: [1, T, D] or [T, D] table with T = extra + S*S rows.
+      new_grid_size: target grid side S'.
+      num_extra_tokens: leading rows kept unchanged.
+
+    Returns:
+      float32 array of the input rank with extra + S'*S' rows.
+    """
+    import jax
+
+    table = np.asarray(pos_embed, np.float32)
+    squeeze = table.ndim == 2
+    if squeeze:
+        table = table[None]
+    extra, grid = table[:, :num_extra_tokens], table[:, num_extra_tokens:]
+    d = table.shape[-1]
+    orig_size = int(round(grid.shape[1] ** 0.5))
+    assert orig_size * orig_size == grid.shape[1], (
+        f"pos table rows {grid.shape[1]} are not a square grid"
+    )
+    if orig_size != new_grid_size:
+        grid = grid.reshape(1, orig_size, orig_size, d)
+        grid = np.asarray(
+            jax.image.resize(grid, (1, new_grid_size, new_grid_size, d), method="cubic")
+        )
+        grid = grid.reshape(1, new_grid_size * new_grid_size, d)
+    out = np.concatenate([extra, grid], axis=1)
+    return out[0] if squeeze else out

@@ -148,6 +148,20 @@ class Finetuner:
             in_shardings=(self._replicated,) * 4,
             out_shardings=self._replicated,
         )
+        # superstep: scan steps_per_call train steps in ONE dispatch (same
+        # trick as the Pretrainer) — amortizes the fixed host↔device round
+        # trip across K steps when samples are HBM-resident
+        self.steps_per_call = int(config.get("steps_per_call", 8))
+        self._train_superstep = jax.jit(
+            partial(
+                self._superstep,
+                crop=crop,
+                shifting_window=bool(config.get("shifting_window", False)),
+            ),
+            in_shardings=(self._replicated,) * 4,
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
+        )
 
     # --- jitted bodies ------------------------------------------------------
     def _forward_loss(self, params, img, label, dropout_rng, train: bool):
@@ -241,6 +255,18 @@ class Finetuner:
     def _step_idx(self, state, imgs, labels, idx, *, crop: bool, shifting_window: bool):
         img, label = self._gather_batch(imgs, labels, idx)
         return self._step(state, img, label, crop=crop, shifting_window=shifting_window)
+
+    def _superstep(self, state, imgs, labels, idx_chunk, *, crop: bool, shifting_window: bool):
+        """idx_chunk [K, B] → K sequential train steps in one dispatch;
+        returns per-step stacked metrics."""
+
+        def body(state, idx):
+            state, metrics = self._step_idx(
+                state, imgs, labels, idx, crop=crop, shifting_window=shifting_window
+            )
+            return state, metrics
+
+        return jax.lax.scan(body, state, idx_chunk)
 
     def _eval_sums_idx(self, state, imgs, labels, idx):
         """Windowed eval over HBM-resident tiles: gather ≤val_bs tiles by
@@ -375,8 +401,46 @@ class Finetuner:
                 return epoch >= epoch_budget or step >= step_budget
             return epoch >= epoch_budget + 1 and step >= step_budget + 1
 
+        def log_step(m: dict):
+            tracker.log(
+                {
+                    "epoch": epoch,
+                    **m,
+                    "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
+                    **meter.stats(),
+                },
+                step=step,
+            )
+
         while not done():
-            for batch in loader:
+            batches = list(loader)
+            i, metrics = 0, None
+            while i < len(batches):
+                k = self.steps_per_call
+                fits_budget = (not strict) or (step + k <= step_budget)
+                if train_store is not None and k > 1 and i + k <= len(batches) and fits_budget:
+                    # scan k steps in one dispatch (full chunks only; the
+                    # leftover tail of an epoch runs as single steps)
+                    chunk = jnp.asarray(np.stack(batches[i : i + k]))
+                    self.state, metrics_k = self._train_superstep(
+                        self.state,
+                        train_store.arrays["img"],
+                        train_store.arrays["label"],
+                        chunk,
+                    )
+                    metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
+                    for j in range(k):
+                        step += 1
+                        meter.tick()
+                        if step % cfg.logging_freq == 0:
+                            log_step({kk: float(v[j]) for kk, v in metrics_k.items()})
+                    metrics = {kk: v[-1] for kk, v in metrics_k.items()}
+                    i += k
+                    if strict and step >= step_budget:
+                        break
+                    continue
+                batch = batches[i]
+                i += 1
                 if train_store is not None:
                     self.state, metrics = self._train_step_idx(
                         self.state,
@@ -393,17 +457,9 @@ class Finetuner:
                 if strict and step >= step_budget:
                     break
                 if step % cfg.logging_freq == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    tracker.log(
-                        {
-                            "epoch": epoch,
-                            **m,
-                            "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
-                            **meter.stats(),
-                        },
-                        step=step,
-                    )
-            history["train"].append({k: float(v) for k, v in metrics.items()})
+                    log_step({k2: float(v) for k2, v in metrics.items()})
+            if metrics is not None:
+                history["train"].append({k: float(v) for k, v in metrics.items()})
 
             if epoch in validation_epochs or epoch == epoch_budget:
                 sums = None

@@ -63,3 +63,59 @@ def test_pretrainer_fit_uses_superstep():
     hist = tr.fit(ds, epochs=2, save_checkpoints=False)
     assert len(hist["train_loss"]) == 2
     assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_finetuner_superstep_equals_single_steps():
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.models import ViTSpatialSpectral
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    def tiny(cfg):
+        cfg.n_bands = 40
+        cfg.transformer_dim = 24
+        cfg.transformer_depth = 2
+        cfg.transformer_n_heads = 2
+        cfg.transformer_mlp_dim = 16
+        cfg.batch_size = 6
+        cfg.steps_per_call = 3
+        return cfg
+
+    def mk():
+        cfg = tiny(get_finetune_config("configs/finetune_config_enmap.yaml", "configs/config.yaml"))
+        model = ViTSpatialSpectral(
+            image_size=cfg.image_size,
+            spatial_patch_size=cfg.patch_size,
+            spectral_patch_size=cfg.band_patch_size,
+            num_classes=cfg.n_classes,
+            dim=cfg.transformer_dim,
+            depth=cfg.transformer_depth,
+            heads=cfg.transformer_n_heads,
+            mlp_dim=cfg.transformer_mlp_dim,
+            channels=cfg.n_bands,
+            spectral_pos=cfg.spectral_pos[:4],
+        )
+        ft = Finetuner(cfg, model)
+        return cfg, ft
+
+    cfg, ft = mk()
+    ds = SyntheticCubeDataset(num_tiles=24, n_bands=40, n_classes=cfg.n_classes)
+    store = DeviceTileStore(ds, ft.mesh)
+    idx = np.stack(list(IndexBatcher(len(store), 6, shuffle=True, drop_last=True, seed=0)))[:3]
+
+    state_a = ft.state
+    for i in range(3):
+        state_a, m = ft._train_step_idx(
+            state_a, store.arrays["img"], store.arrays["label"], jnp.asarray(idx[i])
+        )
+
+    _, ft2 = mk()
+    state_b, metrics = ft2._train_superstep(
+        ft2.state, store.arrays["img"], store.arrays["label"], jnp.asarray(idx)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(m["loss"]), np.asarray(metrics["loss"][-1]), rtol=1e-6
+    )
+    for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=2e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(state_a.rng), np.asarray(state_b.rng))
