@@ -135,6 +135,10 @@ def test_end_to_end_li_scene():
     from maskedsst_tpu.hyperx.training import HyperXTrainer
     from maskedsst_tpu.models.zoo import get_model
 
+    # sample_gt and the HyperX augmentations draw from the global numpy RNG
+    # (reference parity: DeepHyperX/utils.py:443-504 uses unseeded
+    # train_test_split) — pin it so the short training budget is stable
+    np.random.seed(0)
     img, gt, label_values, ignored, _, _ = synthetic_scene(n_bands=20, size=32, n_classes=4)
     train_gt, test_gt = sample_gt(gt, 0.3, mode="random")
     model, opt, crit, hp = get_model(
