@@ -147,7 +147,7 @@ class Pretrainer:
         # superstep: scan steps_per_call steps inside ONE dispatch — the
         # host↔device round trip per call (~27 ms on tunneled backends)
         # amortizes across K steps
-        self.steps_per_call = int(config.get("steps_per_call", 8))
+        self.steps_per_call = int(config.get("steps_per_call", 16))
         self._train_superstep = jax.jit(
             partial(self._superstep, crop=crop),
             in_shardings=(self._replicated, self._replicated, self._replicated),
