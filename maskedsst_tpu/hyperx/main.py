@@ -32,14 +32,28 @@ def synthetic_scene(n_bands=50, size=64, n_classes=6, seed=0):
     return img.astype(np.float32), gt.astype(np.int64), labels, [0], (0, 1, 2), None
 
 
+# reference grid (DeepHyperX/main.py:248-252)
+SVM_GRID_PARAMS = [
+    {"kernel": ["rbf"], "gamma": [1e-1, 1e-2, 1e-3], "C": [1, 10, 100, 1000]},
+    {"kernel": ["linear"], "C": [0.1, 1, 10, 100, 1000]},
+    {"kernel": ["poly"], "degree": [3], "gamma": [1e-1, 1e-2, 1e-3]},
+]
+
+
 def run_sklearn(name: str, img, gt, train_gt, test_gt, ignored):
-    from sklearn import neighbors, svm
+    """sklearn baseline paths (DeepHyperX/main.py:321-368): SVM, SVM_grid
+    (grid search over linear/poly/RBF kernels), SGD and nearest-neighbors."""
+    from sklearn import model_selection, neighbors, svm
     from sklearn.linear_model import SGDClassifier
 
     X_train = img[train_gt > 0]
     y_train = train_gt[train_gt > 0]
     if name == "SVM":
         clf = svm.SVC(class_weight="balanced")
+    elif name == "SVM_grid":
+        clf = model_selection.GridSearchCV(
+            svm.SVC(class_weight="balanced"), SVM_GRID_PARAMS, verbose=5, n_jobs=4
+        )
     elif name == "SGD":
         clf = SGDClassifier(class_weight="balanced", learning_rate="optimal", tol=1e-3, average=10)
     elif name == "nearest":
@@ -47,6 +61,8 @@ def run_sklearn(name: str, img, gt, train_gt, test_gt, ignored):
     else:
         raise ValueError(name)
     clf.fit(X_train, y_train)
+    if name == "SVM_grid":
+        print(f"SVM best parameters: {clf.best_params_}")
     return clf.predict(img.reshape(-1, img.shape[-1])).reshape(img.shape[:2])
 
 
@@ -98,7 +114,7 @@ def main() -> None:
             f"{np.count_nonzero(test_gt)} test pixels"
         )
 
-        if args.model in ("SVM", "SGD", "nearest"):
+        if args.model in ("SVM", "SVM_grid", "SGD", "nearest"):
             prediction = run_sklearn(args.model, img, gt, train_gt, test_gt, ignored_labels)
         else:
             from maskedsst_tpu.hyperx.training import HyperXTrainer
