@@ -12,6 +12,7 @@ scikit-learn is importable.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -86,6 +87,12 @@ def main() -> None:
     parser.add_argument("--download", action="store_true")
     parser.add_argument("--synthetic-scene", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument(
+        "--checkpoint-dir",
+        default="checkpoints",
+        help="best-checkpoint root (reference layout checkpoints/{model}/{dataset}); "
+        "'none' disables saving",
+    )
     args = parser.parse_args()
 
     from maskedsst_tpu.hyperx.datasets import HyperX, get_dataset
@@ -144,11 +151,20 @@ def main() -> None:
             train_ds = HyperX(img, train_gt2, **hp)
             val_ds = HyperX(img, val_gt, **hp)
             trainer = HyperXTrainer(model, opt, crit, hp)
+            save_dir = None
+            if args.checkpoint_dir and args.checkpoint_dir != "none":
+                from maskedsst_tpu.hyperx.utils import camel_to_snake
+
+                dataset_name = "synthetic" if args.synthetic_scene else args.dataset
+                save_dir = os.path.join(
+                    args.checkpoint_dir, camel_to_snake(args.model), dataset_name
+                )
             trainer.train(
                 train_ds,
                 epochs=hp["epoch"] if args.epoch is None else args.epoch,
                 val_dataset=val_ds if len(val_ds) else None,
                 max_steps=args.max_steps,
+                save_dir=save_dir,
             )
             probs = trainer.test(img)
             prediction = np.argmax(probs, axis=-1)

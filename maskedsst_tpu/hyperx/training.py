@@ -114,6 +114,20 @@ class HyperXTrainer:
         return logits
 
     # --- loops --------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the model params (flax msgpack; loaded back by
+        ``maskedsst_tpu.train.checkpoint.restore_params`` / inference.py).
+        Counterpart of the reference's ``save_model``
+        (DeepHyperX/models.py:1137-1154)."""
+        import os
+
+        from maskedsst_tpu.train.checkpoint import save_checkpoint
+
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        save_checkpoint(path, self.params)
+
     def train(
         self,
         dataset,
@@ -122,6 +136,7 @@ class HyperXTrainer:
         tracker: Optional[Tracker] = None,
         display_iter: int = 100,
         max_steps: Optional[int] = None,
+        save_dir: Optional[str] = None,
     ) -> Dict:
         hp = self.hp
         epochs = epochs if epochs is not None else hp.get("epoch", 100)
@@ -136,6 +151,7 @@ class HyperXTrainer:
         )
         step = 0
         history = {"loss": [], "val_acc": []}
+        best_metric = float("inf")
         for epoch in range(1, epochs + 1):
             avg_loss, n_batches = 0.0, 0
             for batch in loader:
@@ -165,6 +181,13 @@ class HyperXTrainer:
                 metric = -acc
             else:
                 metric = avg_loss
+            # checkpoint on improvement (reference saves when val accuracy
+            # improves, DeepHyperX/models.py:1124-1133)
+            if save_dir is not None and metric < best_metric:
+                best_metric = metric
+                import os
+
+                self.save(os.path.join(save_dir, "best.msgpack"))
             self.opt_state = self.scheduler.update(self.opt_state, metric)
             if max_steps is not None and step >= max_steps:
                 break
