@@ -36,10 +36,10 @@ def main() -> None:
     from maskedsst_tpu.train.pretrainer import Pretrainer
 
     config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
-    # 32 steps per dispatch amortizes the fixed ~27 ms host<->device round
-    # trip to <1 ms/step (semantics-neutral: the superstep is a scanned
+    # 64 steps per dispatch amortizes the fixed ~27 ms host<->device round
+    # trip to ~0.4 ms/step (semantics-neutral: the superstep is a scanned
     # chain of identical train steps)
-    config.steps_per_call = 32
+    config.steps_per_call = 64
     trainer = Pretrainer(config, dtype=jnp.bfloat16)
     n_chips = trainer.mesh.devices.size
     batch = config.batch_size
