@@ -56,3 +56,39 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays) onto the mesh, sharded on axis 0."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def initialize_multihost(**kwargs) -> Mesh:
+    """Multi-host entry point (SURVEY.md §5.8): join the jax.distributed
+    coordination service (DCN), then build the global data-parallel mesh over
+    every chip in the slice. Each process subsequently feeds its LOCAL batch
+    shard through :func:`shard_host_batch`. No-op re-initialization is
+    tolerated so drivers can call this unconditionally.
+
+    kwargs pass through to ``jax.distributed.initialize`` (coordinator
+    address/process id come from the TPU environment automatically on Cloud
+    TPU).
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:  # already initialized
+        if "already" not in str(exc).lower():
+            raise
+    return get_mesh()
+
+
+def shard_host_batch(mesh: Mesh, batch):
+    """Assemble a GLOBAL batch from per-process local shards.
+
+    Each host passes the rows it loaded (global_batch / process_count of
+    them); the result is a jax.Array sharded over the ``data`` axis whose
+    global shape stitches all hosts' shards. On a single process this is
+    identical to :func:`shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

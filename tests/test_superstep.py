@@ -119,3 +119,50 @@ def test_finetuner_superstep_equals_single_steps():
     for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=2e-6, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(state_a.rng), np.asarray(state_b.rng))
+
+
+def test_exact_resume(tmp_path):
+    """Save mid-training, resume into a fresh trainer, continue — the final
+    state must be bit-identical to an uninterrupted run (full TrainState
+    checkpoint: params, optimizer moments, step, RNG; SURVEY.md §5.4 notes
+    the reference cannot do this)."""
+    from maskedsst_tpu.train.checkpoint import save_checkpoint
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+
+    tr = Pretrainer(cfg)
+    ds = SyntheticCubeDataset(num_tiles=40, n_bands=40, labeled=False)
+    store = DeviceTileStore(ds, tr.mesh)
+    idx = np.stack(list(IndexBatcher(len(store), 8, shuffle=True, drop_last=True, seed=0)))[:4]
+
+    # uninterrupted: 4 steps
+    state = tr.state
+    for i in range(4):
+        state, _ = tr._train_step_idx(state, store.arrays["img"], jnp.asarray(idx[i]))
+
+    # interrupted: 2 steps, checkpoint, resume in a NEW trainer, 2 more
+    tr2 = Pretrainer(cfg)
+    s2 = tr2.state
+    for i in range(2):
+        s2, _ = tr2._train_step_idx(s2, store.arrays["img"], jnp.asarray(idx[i]))
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, s2, config=cfg)
+
+    tr3 = Pretrainer(cfg)
+    assert tr3.resume(path) == 2
+    s3 = tr3.state
+    for i in range(2, 4):
+        s3, _ = tr3._train_step_idx(s3, store.arrays["img"], jnp.asarray(idx[i]))
+
+    assert int(s3.step) == int(state.step) == 4
+    np.testing.assert_array_equal(np.asarray(s3.rng), np.asarray(state.rng))
+    for pa, pb in zip(jax.tree.leaves(state.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for oa, ob in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(s3.opt_state)):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))

@@ -84,3 +84,19 @@ def test_dryrun_tensor_parallel():
     config.transformer_mlp_dim = 64
     config.batch_size = 8
     ge._dryrun_tensor_parallel(8, config)
+
+
+def test_shard_host_batch_single_process_equivalence():
+    """On one process shard_host_batch must equal shard_batch (the multi-host
+    path stitches per-process shards via make_array_from_process_local_data)."""
+    import numpy as np
+    import jax
+
+    from maskedsst_tpu.parallel.mesh import get_mesh, shard_batch, shard_host_batch
+
+    mesh = get_mesh()
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    a = shard_batch(mesh, {"img": x})["img"]
+    b = shard_host_batch(mesh, {"img": x})["img"]
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
