@@ -249,11 +249,11 @@ def _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, seq, g, compute_dtype, want_c
     s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
     if fold > 1:
         s = jnp.where(_block_diag_mask(fold, seq), s, jnp.float32(-1e30))
-    # softmax without the row-max pass: scaled LN'd logits are bounded far
-    # below the clamp, so exp cannot overflow and the unsubtracted form is
-    # mathematically identical (exp(s)/Σexp(s)); saves two VPU passes over
-    # the score tensor vs jax.nn.softmax
-    e = jnp.exp(jnp.minimum(s, 80.0))
+    # numerically safe softmax (row-max subtraction): a clamp-based max-free
+    # variant measured ~neutral here and risks distorted attention + wrong
+    # clamped-entry gradients on logit spikes — not worth it
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
     a = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
     a_mask = drop.mask(a.shape, _SITE_ATTN)
     a_d = a * a_mask if a_mask is not None else a
@@ -490,7 +490,6 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, re
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
     )
     seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
-    inner = heads * dim_head
     grad_shapes = [
         jax.ShapeDtypeStruct(params.ln1_scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln1_bias.shape, jnp.float32),

@@ -13,10 +13,16 @@ annotates the param tree with Megatron-style shardings over the mesh's
 * MLP fc1 [D, F] → columns; fc2 [F, D] → rows;
 * LayerNorms, embeddings, heads, biases of row-sharded layers → replicated.
 
-Note: QKV column sharding splits each of the q|k|v thirds only when the
-per-third width divides the axis (heads % tp == 0) — asserted below. The
-sharded layout keeps whole heads on one chip because columns are ordered
-[q(h0..hH) | k(h0..hH) | v(h0..hH)] and each third shards evenly.
+Note on the fused QKV kernel: GSPMD block-shards the WHOLE 3I column axis
+into contiguous tp chunks, so with the canonical [q|k|v] column order a
+shard can span a q/k/v boundary (tp=2: chip 0 holds all of q plus half of
+k) — weight sharding is NOT per-head-aligned across the thirds, and GSPMD
+inserts reshards around the per-head attention split. This is
+semantics-preserving and balances memory, which is TP's purpose at scaled
+configurations; a fully Megatron-local pattern would need a head-grouped
+QKV column order, which would break the torch-checkpoint layout parity
+(io/torch_import.py). heads % tp == 0 is still asserted so the activation
+head split itself is even.
 
 The rules apply to the XLA transformer path (``fused=False``): Pallas kernels
 are opaque to GSPMD partitioning. The fused path stays the single-chip/DP

@@ -413,51 +413,63 @@ class Finetuner:
             )
 
         while not done():
-            batches = list(loader)
-            i, metrics = 0, None
-            while i < len(batches):
-                k = self.steps_per_call
-                fits_budget = (not strict) or (step + k <= step_budget)
-                if train_store is not None and k > 1 and i + k <= len(batches) and fits_budget:
-                    # scan k steps in one dispatch (full chunks only; the
-                    # leftover tail of an epoch runs as single steps)
-                    chunk = jnp.asarray(np.stack(batches[i : i + k]))
-                    self.state, metrics_k = self._train_superstep(
-                        self.state,
-                        train_store.arrays["img"],
-                        train_store.arrays["label"],
-                        chunk,
+            metrics = None
+            if train_store is None:
+                # host-streaming fallback: iterate the loader directly —
+                # this path exists because the dataset exceeds device (and
+                # possibly host) memory, so never materialize the epoch
+                for batch in loader:
+                    self.state, metrics = self._train_step(
+                        self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
                     )
-                    metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
-                    for j in range(k):
-                        step += 1
-                        meter.tick()
-                        if step % cfg.logging_freq == 0:
-                            log_step({kk: float(v[j]) for kk, v in metrics_k.items()})
-                    metrics = {kk: v[-1] for kk, v in metrics_k.items()}
-                    i += k
+                    step += 1
+                    meter.tick()
                     if strict and step >= step_budget:
                         break
-                    continue
-                batch = batches[i]
-                i += 1
-                if train_store is not None:
+                    if step % cfg.logging_freq == 0:
+                        log_step({k2: float(v) for k2, v in metrics.items()})
+            else:
+                # HBM-resident samples: index batches are tiny; chunk them
+                # into supersteps (scan of k steps per dispatch)
+                batches = list(loader)
+                i = 0
+                while i < len(batches):
+                    k = self.steps_per_call
+                    fits_budget = (not strict) or (step + k <= step_budget)
+                    if k > 1 and i + k <= len(batches) and fits_budget:
+                        chunk = jnp.asarray(np.stack(batches[i : i + k]))
+                        self.state, metrics_k = self._train_superstep(
+                            self.state,
+                            train_store.arrays["img"],
+                            train_store.arrays["label"],
+                            chunk,
+                        )
+                        metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
+                        for j in range(k):
+                            step += 1
+                            meter.tick()
+                            if step % cfg.logging_freq == 0:
+                                log_step({kk: float(v[j]) for kk, v in metrics_k.items()})
+                        metrics = {kk: v[-1] for kk, v in metrics_k.items()}
+                        i += k
+                        if strict and step >= step_budget:
+                            break
+                        continue
+                    # epoch tail / budget tail: single steps
+                    batch = batches[i]
+                    i += 1
                     self.state, metrics = self._train_step_idx(
                         self.state,
                         train_store.arrays["img"],
                         train_store.arrays["label"],
                         jnp.asarray(batch),
                     )
-                else:
-                    self.state, metrics = self._train_step(
-                        self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
-                    )
-                step += 1
-                meter.tick()
-                if strict and step >= step_budget:
-                    break
-                if step % cfg.logging_freq == 0:
-                    log_step({k2: float(v) for k2, v in metrics.items()})
+                    step += 1
+                    meter.tick()
+                    if strict and step >= step_budget:
+                        break
+                    if step % cfg.logging_freq == 0:
+                        log_step({k2: float(v) for k2, v in metrics.items()})
             if metrics is not None:
                 history["train"].append({k: float(v) for k, v in metrics.items()})
 

@@ -50,7 +50,11 @@ def flatten_transform(tx: optax.GradientTransformation) -> optax.GradientTransfo
     flat [N] leaf makes each transform a single fused pass. Hyperparameter
     injection still works (state structure is unchanged); per-group
     transforms (multi_transform) must NOT be wrapped — labels would collapse
-    to the single flat leaf."""
+    to the single flat leaf.
+
+    Compatibility: the optimizer-state pytree stores flat [N] moment vectors,
+    so full-state checkpoints written WITHOUT flatten cannot restore into a
+    flattened trainer (and vice versa) — pick one per training run."""
     from jax.flatten_util import ravel_pytree
 
     def init(params):
