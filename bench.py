@@ -26,7 +26,6 @@ BASELINE_CUBES_PER_SEC = 2000.0
 
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
     import numpy as np
 

@@ -36,7 +36,6 @@ def main() -> None:
     from maskedsst_tpu.config import get_finetune_config
     from maskedsst_tpu.data.resolve import get_dataset
     from maskedsst_tpu.train.factory import build_finetune_model
-    from maskedsst_tpu.train.metrics import micro_accuracy
 
     config = get_finetune_config(
         f"configs/finetune_config_{args.dataset}.yaml", args.config

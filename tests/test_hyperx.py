@@ -18,18 +18,6 @@ from maskedsst_tpu.hyperx.utils import (
 
 
 def test_sliding_window_matches_reference():
-    import sys
-
-    sys.path.insert(0, "/root/reference")
-    try:
-        import types
-
-        # DeepHyperX/utils imports sklearn/visdom at module top; extract just
-        # the function by executing the file with stubbed imports is fragile —
-        # instead verify against the documented edge-handling semantics.
-        pass
-    finally:
-        pass
     img = np.zeros((7, 7, 3))
     wins = list(sliding_window(img, step=1, window_size=(3, 3), with_data=False))
     assert len(wins) == 25  # range(0,5) x range(0,5)
@@ -91,7 +79,8 @@ def test_compute_imf_weights():
 
 def test_camel_to_snake():
     assert camel_to_snake("LiEtAl") == "li_et_al"
-    assert camel_to_snake("HSICnn") == "hsi_cnn".replace("hsi_cnn", "hsi_cnn") or True
+    assert camel_to_snake("HSICnn") == "hsi_cnn"
+    assert camel_to_snake("BoulchEtAl") == "boulch_et_al"
 
 
 def test_hyperx_dataset_layouts():
