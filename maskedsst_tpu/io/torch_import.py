@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -249,6 +251,91 @@ def import_li_et_al(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "conv2": _conv3d(sd, "conv2"),
         "fc": _linear(sd, "fc"),
     }
+
+
+def import_zoo(sd: Mapping[str, Any], variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Generic DeepHyperX zoo importer: torch ``state_dict`` → flax variables.
+
+    Works for every net in maskedsst_tpu.models.zoo because those modules
+    carry the reference's attribute names (torch '.'-paths map to flax names
+    with '.' → '_', e.g. ``encoder.0`` → ``encoder_0``; see
+    DeepHyperX/models.py:205-996 for the reference definitions). Handles
+    Linear / Conv1-3d / BatchNorm / GRU tensors; state-dict entries with no
+    flax counterpart are skipped (e.g. LiuEtAl's registered-but-unused
+    ``fc1_dec_bn``, DeepHyperX/models.py:855). ``variables`` is the tree from
+    ``model.init`` and supplies the target structure; every imported leaf is
+    shape-checked against it.
+    """
+    params = jax.tree_util.tree_map(lambda x: x, dict(variables["params"]))
+    batch_stats = (
+        jax.tree_util.tree_map(lambda x: x, dict(variables["batch_stats"]))
+        if "batch_stats" in variables
+        else None
+    )
+
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, tensor in sd.items():
+        prefix, leaf = key.rsplit(".", 1)
+        if leaf == "num_batches_tracked":
+            continue
+        groups.setdefault(prefix, {})[leaf] = _np(tensor)
+
+    def _conv_kernel(w: np.ndarray) -> np.ndarray:
+        # torch [out, in, *k] → flax [*k, in, out]
+        return np.transpose(w, (*range(2, w.ndim), 1, 0))
+
+    def _descend(tree):
+        # unwrap Conv3d/Conv2d wrapper modules ({"Conv_0": {...}})
+        while "kernel" not in tree and "scale" not in tree and len(tree) == 1:
+            (inner,) = tree.keys()
+            tree = tree[inner]
+        return tree
+
+    def _assign(target, new: Dict[str, np.ndarray], where: str) -> None:
+        for name, value in new.items():
+            assert name in target, f"{where}: no target leaf {name}"
+            got, want = value.shape, target[name].shape
+            assert got == want, f"{where}.{name}: shape {got} != {want}"
+            target[name] = jnp.asarray(value, target[name].dtype)
+
+    for prefix, tensors in groups.items():
+        flax_name = prefix.replace(".", "_")
+        if flax_name not in params:
+            continue  # registered but unused in forward (reference quirk)
+        if "weight_ih_l0" in tensors:  # torch nn.GRU, single layer
+            _assign(
+                params[flax_name],
+                {
+                    "weight_ih": tensors["weight_ih_l0"].T,
+                    "weight_hh": tensors["weight_hh_l0"].T,
+                    "bias_ih": tensors["bias_ih_l0"],
+                    "bias_hh": tensors["bias_hh_l0"],
+                },
+                prefix,
+            )
+        elif "running_mean" in tensors:  # BatchNorm
+            _assign(
+                params[flax_name],
+                {"scale": tensors["weight"], "bias": tensors["bias"]},
+                prefix,
+            )
+            assert batch_stats is not None, f"{prefix}: BN import needs batch_stats"
+            _assign(
+                batch_stats[flax_name],
+                {"mean": tensors["running_mean"], "var": tensors["running_var"]},
+                prefix,
+            )
+        else:
+            w = tensors["weight"]
+            new = {"kernel": w.T if w.ndim == 2 else _conv_kernel(w)}
+            if "bias" in tensors:
+                new["bias"] = tensors["bias"]
+            _assign(_descend(params[flax_name]), new, prefix)
+
+    out: Dict[str, Any] = {"params": params}
+    if batch_stats is not None:
+        out["batch_stats"] = batch_stats
+    return out
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:

@@ -109,11 +109,17 @@ class Baseline(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = x.reshape(x.shape[0], -1)
-        for feats in (2048, 4096, 2048):
-            x = nn.relu(nn.Dense(feats, kernel_init=nn.initializers.kaiming_normal())(x))
+        for i, feats in enumerate((2048, 4096, 2048)):
+            x = nn.relu(
+                nn.Dense(
+                    feats, kernel_init=nn.initializers.kaiming_normal(), name=f"fc{i + 1}"
+                )(x)
+            )
             if self.dropout:
                 x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes, kernel_init=nn.initializers.kaiming_normal())(x)
+        return nn.Dense(
+            self.n_classes, kernel_init=nn.initializers.kaiming_normal(), name="fc4"
+        )(x)
 
 
 class HuEtAl(nn.Module):
@@ -133,12 +139,12 @@ class HuEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = x.reshape(x.shape[0], self.input_channels, 1)  # [B, C, 1ch]
-        x = nn.Conv(20, kernel_size=(self.kernel_size,), padding="VALID")(x)
+        x = nn.Conv(20, kernel_size=(self.kernel_size,), padding="VALID", name="conv")(x)
         x = nn.max_pool(x, (self.pool_size,), strides=(self.pool_size,))
         x = jnp.tanh(x)
         x = _flatten_torch_order(x)  # torch flattens [B, 20, L] plane-major
-        x = jnp.tanh(nn.Dense(100)(x))
-        return nn.Dense(self.n_classes)(x)
+        x = jnp.tanh(nn.Dense(100, name="fc1")(x))
+        return nn.Dense(self.n_classes, name="fc2")(x)
 
 
 class HamidaEtAl(nn.Module):
@@ -154,13 +160,13 @@ class HamidaEtAl(nn.Module):
         x = _to_channels_last_3d(x)
         d = (self.dilation, 1, 1)
         pad1 = (1, 1, 1) if self.patch_size == 3 else (0, 0, 0)
-        x = nn.relu(Conv3d(20, (3, 3, 3), (1, 1, 1), pad1, d)(x))
-        x = Conv3d(20, (3, 1, 1), (2, 1, 1), (1, 0, 0), d)(x)
-        x = nn.relu(Conv3d(35, (3, 3, 3), (1, 1, 1), (1, 0, 0), d)(x))
-        x = Conv3d(35, (3, 1, 1), (2, 1, 1), (1, 0, 0), d)(x)
-        x = nn.relu(Conv3d(35, (3, 1, 1), (1, 1, 1), (1, 0, 0), d)(x))
-        x = nn.relu(Conv3d(35, (2, 1, 1), (2, 1, 1), (1, 0, 0), d)(x))
-        return nn.Dense(self.n_classes)(_flatten_torch_order(x))
+        x = nn.relu(Conv3d(20, (3, 3, 3), (1, 1, 1), pad1, d, name="conv1")(x))
+        x = Conv3d(20, (3, 1, 1), (2, 1, 1), (1, 0, 0), d, name="pool1")(x)
+        x = nn.relu(Conv3d(35, (3, 3, 3), (1, 1, 1), (1, 0, 0), d, name="conv2")(x))
+        x = Conv3d(35, (3, 1, 1), (2, 1, 1), (1, 0, 0), d, name="pool2")(x)
+        x = nn.relu(Conv3d(35, (3, 1, 1), (1, 1, 1), (1, 0, 0), d, name="conv3")(x))
+        x = nn.relu(Conv3d(35, (2, 1, 1), (2, 1, 1), (1, 0, 0), d, name="conv4")(x))
+        return nn.Dense(self.n_classes, name="fc")(_flatten_torch_order(x))
 
 
 class LeeEtAl(nn.Module):
@@ -174,23 +180,23 @@ class LeeEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)  # [B, C, H, W, 1]
-        x3 = Conv3d(128, (self.in_channels, 3, 3), (1, 1, 1), (0, 1, 1))(x)
-        x1 = Conv3d(128, (self.in_channels, 1, 1), (1, 1, 1), (0, 0, 0))(x)
+        x3 = Conv3d(128, (self.in_channels, 3, 3), (1, 1, 1), (0, 1, 1), name="conv_3x3")(x)
+        x1 = Conv3d(128, (self.in_channels, 1, 1), (1, 1, 1), (0, 0, 0), name="conv_1x1")(x)
         x = jnp.concatenate([x3, x1], axis=-1)[:, 0]  # [B, H, W, 256]
         x = nn.relu(local_response_norm(x, 256))
-        x = Conv2d(128, (1, 1))(x)
+        x = Conv2d(128, (1, 1), name="conv1")(x)
         x = nn.relu(local_response_norm(x, 128))
-        res = nn.relu(Conv2d(128, (1, 1))(x))
-        res = Conv2d(128, (1, 1))(res)
+        res = nn.relu(Conv2d(128, (1, 1), name="conv2")(x))
+        res = Conv2d(128, (1, 1), name="conv3")(res)
         x = nn.relu(x + res)
-        res = nn.relu(Conv2d(128, (1, 1))(x))
-        res = Conv2d(128, (1, 1))(res)
+        res = nn.relu(Conv2d(128, (1, 1), name="conv4")(x))
+        res = Conv2d(128, (1, 1), name="conv5")(res)
         x = nn.relu(x + res)
-        x = nn.relu(Conv2d(128, (1, 1))(x))
+        x = nn.relu(Conv2d(128, (1, 1), name="conv6")(x))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = nn.relu(Conv2d(128, (1, 1))(x))
+        x = nn.relu(Conv2d(128, (1, 1), name="conv7")(x))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = Conv2d(self.n_classes, (1, 1))(x)
+        x = Conv2d(self.n_classes, (1, 1), name="conv8")(x)
         return jnp.moveaxis(x, -1, 1)  # [B, n_classes, H, W]
 
 
@@ -205,15 +211,15 @@ class ChenEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)
-        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4))(x))
+        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), name="conv1")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4))(x))
+        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), name="conv2")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4))(x))
+        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), name="conv3")(x))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes)(_flatten_torch_order(x))
+        return nn.Dense(self.n_classes, name="fc")(_flatten_torch_order(x))
 
 
 class LiEtAl(nn.Module):
@@ -255,25 +261,25 @@ class HeEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)
-        x = nn.relu(Conv3d(16, (11, 3, 3), (3, 1, 1))(x))
+        x = nn.relu(Conv3d(16, (11, 3, 3), (3, 1, 1), name="conv1")(x))
         branches = [
-            Conv3d(16, (1, 1, 1), padding=(0, 0, 0))(x),
-            Conv3d(16, (3, 1, 1), padding=(1, 0, 0))(x),
-            Conv3d(16, (5, 1, 1), padding=(2, 0, 0))(x),
-            Conv3d(16, (11, 1, 1), padding=(5, 0, 0))(x),
+            Conv3d(16, (1, 1, 1), padding=(0, 0, 0), name="conv2_1")(x),
+            Conv3d(16, (3, 1, 1), padding=(1, 0, 0), name="conv2_2")(x),
+            Conv3d(16, (5, 1, 1), padding=(2, 0, 0), name="conv2_3")(x),
+            Conv3d(16, (11, 1, 1), padding=(5, 0, 0), name="conv2_4")(x),
         ]
         x = nn.relu(sum(branches))
         branches = [
-            Conv3d(16, (1, 1, 1), padding=(0, 0, 0))(x),
-            Conv3d(16, (3, 1, 1), padding=(1, 0, 0))(x),
-            Conv3d(16, (5, 1, 1), padding=(2, 0, 0))(x),
-            Conv3d(16, (11, 1, 1), padding=(5, 0, 0))(x),
+            Conv3d(16, (1, 1, 1), padding=(0, 0, 0), name="conv3_1")(x),
+            Conv3d(16, (3, 1, 1), padding=(1, 0, 0), name="conv3_2")(x),
+            Conv3d(16, (5, 1, 1), padding=(2, 0, 0), name="conv3_3")(x),
+            Conv3d(16, (11, 1, 1), padding=(5, 0, 0), name="conv3_4")(x),
         ]
         x = nn.relu(sum(branches))
-        x = nn.relu(Conv3d(16, (3, 2, 2))(x))
+        x = nn.relu(Conv3d(16, (3, 2, 2), name="conv4")(x))
         x = _flatten_torch_order(x)
         x = nn.Dropout(0.6)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes)(x)
+        return nn.Dense(self.n_classes, name="fc")(x)
 
 
 class LuoEtAl(nn.Module):
@@ -287,16 +293,15 @@ class LuoEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)
-        x = nn.relu(Conv3d(self.n_planes, (24, 3, 3), (9, 1, 1))(x))
+        x = nn.relu(Conv3d(self.n_planes, (24, 3, 3), (9, 1, 1), name="conv1")(x))
         b = x.shape[0]
-        # reference reshape: [b, planes, D, 1, 1] view → [b, 1, planes*D, planes]?
-        # Actually torch: x.view(b, 1, -1, n_planes) on [b, planes, D, 1, 1]
+        # torch: x.view(b, 1, -1, n_planes) on [b, planes, D, 1, 1] — plane-major
         x = jnp.moveaxis(x, -1, 1)  # [b, planes, D, h', w']
         x = x.reshape(b, -1, self.n_planes, 1)  # [b, rows, planes, 1ch]
-        x = nn.relu(nn.Conv(64, (3, 3), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x))
         x = _flatten_torch_order(x)
-        x = nn.relu(nn.Dense(1024)(x))
-        return nn.Dense(self.n_classes)(x)
+        x = nn.relu(nn.Dense(1024, name="fc1")(x))
+        return nn.Dense(self.n_classes, name="fc2")(x)
 
 
 class SharmaEtAl(nn.Module):
@@ -318,19 +323,19 @@ class SharmaEtAl(nn.Module):
             return t[..., None]  # [b, f*d, h, w, 1]
 
         x = _to_channels_last_3d(x)
-        x = Conv3d(96, (self.input_channels, 6, 6), (1, 2, 2))(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=deterministic)(x))
+        x = Conv3d(96, (self.input_channels, 6, 6), (1, 2, 2), name="conv1")(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=deterministic, name="conv1_bn")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = merge_feature_into_depth(x)
-        x = Conv3d(256, (96, 3, 3), (1, 2, 2))(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=deterministic)(x))
+        x = Conv3d(256, (96, 3, 3), (1, 2, 2), name="conv2")(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=deterministic, name="conv2_bn")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = merge_feature_into_depth(x)
-        x = nn.relu(Conv3d(512, (256, 3, 3), (1, 1, 1))(x))
+        x = nn.relu(Conv3d(512, (256, 3, 3), (1, 1, 1), name="conv3")(x))
         x = _flatten_torch_order(x)
-        x = nn.Dense(1024)(x)
+        x = nn.Dense(1024, name="fc1")(x)
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes)(x)
+        return nn.Dense(self.n_classes, name="fc2")(x)
 
 
 class LiuEtAl(nn.Module):
@@ -348,8 +353,8 @@ class LiuEtAl(nn.Module):
         if x.ndim == 5:
             x = x[:, 0]
         x = jnp.moveaxis(x, 1, -1)  # [B, H, W, C]
-        conv1 = nn.BatchNorm(use_running_average=deterministic)(
-            nn.Conv(80, (3, 3), padding="VALID")(x)
+        conv1 = nn.BatchNorm(use_running_average=deterministic, name="conv1_bn")(
+            nn.Conv(80, (3, 3), padding="VALID", name="conv1")(x)
         )
         pool1 = nn.max_pool(conv1, (2, 2), strides=(2, 2))
         enc = nn.relu(pool1)
@@ -357,20 +362,20 @@ class LiuEtAl(nn.Module):
         f_pool1 = _flatten_torch_order(pool1)
         f_enc = _flatten_torch_order(enc)
 
-        logits = nn.Dense(self.n_classes)(f_enc)
+        logits = nn.Dense(self.n_classes, name="fc_enc")(f_enc)
 
-        d = nn.relu(nn.Dense(f_enc.shape[-1])(f_enc))
+        d = nn.relu(nn.Dense(f_enc.shape[-1], name="fc1_dec")(f_enc))
         d = nn.relu(
-            nn.BatchNorm(use_running_average=deterministic)(
-                nn.Dense(f_pool1.shape[-1])(d) + f_pool1
+            nn.BatchNorm(use_running_average=deterministic, name="fc2_dec_bn")(
+                nn.Dense(f_pool1.shape[-1], name="fc2_dec")(d) + f_pool1
             )
         )
         d = nn.relu(
-            nn.BatchNorm(use_running_average=deterministic)(
-                nn.Dense(f_conv1.shape[-1])(d) + f_conv1
+            nn.BatchNorm(use_running_average=deterministic, name="fc3_dec_bn")(
+                nn.Dense(f_conv1.shape[-1], name="fc3_dec")(d) + f_conv1
             )
         )
-        rec = nn.Dense(self.input_channels)(d)
+        rec = nn.Dense(self.input_channels, name="fc4_dec")(d)
         return logits, rec
 
 
@@ -387,6 +392,7 @@ class BoulchEtAl(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         x = x.reshape(x.shape[0], self.input_channels, 1)  # [B, C, 1ch]
         n = self.input_channels
+        idx = 0  # torch nn.Sequential index (conv, pool, relu, bn per block)
         while n > 1:
             if n == self.input_channels:
                 feats = 2 * self.planes
@@ -394,16 +400,51 @@ class BoulchEtAl(nn.Module):
                 feats = self.planes
             else:
                 feats = self.planes
-            x = nn.Conv(feats, (3,), padding=[(1, 1)])(x)
+            x = nn.Conv(feats, (3,), padding=[(1, 1)], name=f"encoder_{idx}")(x)
             x = nn.max_pool(x, (2,), strides=(2,))
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            x = nn.BatchNorm(use_running_average=deterministic, name=f"encoder_{idx + 3}")(x)
             n = n // 2
-        x = jnp.tanh(nn.Conv(3, (3,), padding=[(1, 1)])(x))
+            idx += 4
+        x = jnp.tanh(nn.Conv(3, (3,), padding=[(1, 1)], name=f"encoder_{idx}")(x))
         feat = _flatten_torch_order(x)
-        logits = nn.Dense(self.n_classes)(feat)
-        rec = nn.Dense(self.input_channels)(feat)
+        logits = nn.Dense(self.n_classes, name="classifier")(feat)
+        rec = nn.Dense(self.input_channels, name="regressor")(feat)
         return logits, rec
+
+
+class TorchGRUCell(nn.Module):
+    """GRU cell with torch ``nn.GRU`` parameterization and gate semantics.
+
+    flax's ``nn.GRUCell`` cannot represent a torch GRU exactly: torch adds an
+    input-side bias ``b_in`` OUTSIDE the ``r ⊙ (W_hn h + b_hn)`` product while
+    flax's input denses are bias-free — so torch weights are not importable
+    into it. This cell keeps torch's exact form (gate order r, z, n; both
+    ``b_ih`` and ``b_hh``), making checkpoint import a pure transpose.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        k = 1.0 / math.sqrt(self.hidden)
+
+        def init(key, shape, dtype=jnp.float32):  # torch default U(-k, k)
+            return jax.random.uniform(key, shape, dtype, -k, k)
+
+        wi = self.param("weight_ih", init, (x.shape[-1], 3 * self.hidden))
+        wh = self.param("weight_hh", init, (self.hidden, 3 * self.hidden))
+        bi = self.param("bias_ih", init, (3 * self.hidden,))
+        bh = self.param("bias_hh", init, (3 * self.hidden,))
+        gi = x @ wi + bi
+        gh = h @ wh + bh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h = (1.0 - z) * n + z * h
+        return h, h
 
 
 class MouEtAl(nn.Module):
@@ -417,7 +458,7 @@ class MouEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = x.reshape(x.shape[0], self.input_channels, 1)  # [B, C, 1]
-        gru = nn.GRUCell(features=64)
+        gru = TorchGRUCell(hidden=64, name="gru")
         carry = jnp.zeros((x.shape[0], 64), x.dtype)
 
         def step(cell, carry, inp):
@@ -432,8 +473,8 @@ class MouEtAl(nn.Module):
         )
         _, seq = scan(gru, carry, x)  # [B, C, 64]
         flat = seq.swapaxes(1, 2).reshape(x.shape[0], -1)  # torch view order [B, 64*C]
-        flat = nn.BatchNorm(use_running_average=deterministic)(flat)
-        return nn.Dense(self.n_classes)(jnp.tanh(flat))
+        flat = nn.BatchNorm(use_running_average=deterministic, name="gru_bn")(flat)
+        return nn.Dense(self.n_classes, name="fc")(jnp.tanh(flat))
 
 
 # --- factory ----------------------------------------------------------------

@@ -29,3 +29,28 @@ def load_reference():
     except Exception as exc:  # pragma: no cover
         pytest.skip(f"reference oracle unavailable: {exc}")
     return ref_pos_embed, ref_vss, ref_simmim, ref_vit_original
+
+
+def load_reference_hyperx():
+    """Returns the reference DeepHyperX.models module or skips the test.
+
+    DeepHyperX.models does ``from .utils import ...`` which would pull visdom;
+    a stub utils module satisfies the import without it."""
+    import types
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    if "DeepHyperX.models" not in sys.modules:
+        utils_stub = types.ModuleType("DeepHyperX.utils")
+        for fn in ("grouper", "sliding_window", "count_sliding_window", "camel_to_snake"):
+            setattr(utils_stub, fn, lambda *a, **k: None)
+        pkg = types.ModuleType("DeepHyperX")
+        pkg.__path__ = [f"{REFERENCE_PATH}/DeepHyperX"]
+        sys.modules.setdefault("DeepHyperX", pkg)
+        sys.modules["DeepHyperX.utils"] = utils_stub
+    try:
+        import torch  # noqa: F401
+        from DeepHyperX import models as ref_models
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference DeepHyperX unavailable: {exc}")
+    return ref_models

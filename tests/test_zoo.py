@@ -89,20 +89,9 @@ def test_li_parity_with_reference():
     """Imported torch LiEtAl weights produce identical logits."""
     import torch
 
-    sys.path.insert(0, "/root/reference")
-    # DeepHyperX.models does `from .utils import ...` which pulls sklearn &
-    # visdom; stub the utils module to import models standalone
-    utils_stub = types.ModuleType("DeepHyperX.utils")
-    for fn in ("grouper", "sliding_window", "count_sliding_window", "camel_to_snake"):
-        setattr(utils_stub, fn, lambda *a, **k: None)
-    pkg = types.ModuleType("DeepHyperX")
-    pkg.__path__ = ["/root/reference/DeepHyperX"]
-    sys.modules.setdefault("DeepHyperX", pkg)
-    sys.modules["DeepHyperX.utils"] = utils_stub
-    try:
-        from DeepHyperX.models import LiEtAl as TorchLi
-    except Exception as exc:
-        pytest.skip(f"reference DeepHyperX unavailable: {exc}")
+    from .reference_oracle import load_reference_hyperx
+
+    TorchLi = load_reference_hyperx().LiEtAl
 
     torch.manual_seed(0)
     ref = TorchLi(input_channels=N_BANDS, n_classes=N_CLASSES, n_planes=16, patch_size=5)
@@ -118,3 +107,100 @@ def test_li_parity_with_reference():
         want = ref(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x), deterministic=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+# --- full-zoo oracle parity ---------------------------------------------------
+
+# name → (reference ctor args beyond (bands, classes), n_bands, input kind)
+PARITY_CASES = {
+    "nn": ({}, 50, "flat"),
+    "hu": ({}, 50, "flat"),
+    "hamida": ({"patch_size": 5}, 50, "cube5d"),
+    "lee": ({}, 50, "cube5d"),
+    "chen": ({"patch_size": 27, "n_planes": 32}, 100, "cube5d"),
+    "li": ({"n_planes": 16, "patch_size": 5}, 50, "cube5d"),
+    "he": ({"patch_size": 7}, 50, "cube5d"),
+    "luo": ({"patch_size": 3, "n_planes": 90}, 50, "cube5d"),
+    "sharma": ({"patch_size": 64}, 50, "cube5d"),
+    "liu": ({"patch_size": 9}, 50, "cube4d"),
+    "boulch": ({"planes": 16}, 50, "flat"),
+    "mou": ({}, 50, "flat"),
+}
+
+REF_CLASS = {
+    "nn": "Baseline",
+    "hu": "HuEtAl",
+    "hamida": "HamidaEtAl",
+    "lee": "LeeEtAl",
+    "chen": "ChenEtAl",
+    "li": "LiEtAl",
+    "he": "HeEtAl",
+    "luo": "LuoEtAl",
+    "sharma": "SharmaEtAl",
+    "liu": "LiuEtAl",
+    "boulch": "BoulchEtAl",
+    "mou": "MouEtAl",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PARITY_CASES))
+def test_zoo_parity_with_reference(name):
+    """Every zoo net reproduces the reference's logits with imported weights.
+
+    Oracle: the upstream torch classes (DeepHyperX/models.py:205-996), eval
+    mode. BatchNorm nets first take a few training-mode steps so the running
+    statistics are non-trivial before comparison.
+    """
+    import torch
+
+    from maskedsst_tpu.io.torch_import import import_zoo
+
+    from .reference_oracle import load_reference_hyperx
+
+    ref_models = load_reference_hyperx()
+    ctor_kwargs, bands, kind = PARITY_CASES[name]
+
+    torch.manual_seed(0)
+    ref = getattr(ref_models, REF_CLASS[name])(bands, N_CLASSES, **ctor_kwargs)
+
+    model, _, _, hp = get_model(
+        name, n_classes=N_CLASSES, n_bands=bands, ignored_labels=[-1],
+        **({"patch_size": ctor_kwargs["patch_size"]} if "patch_size" in ctor_kwargs else {}),
+    )
+    p = hp["patch_size"]
+    rng = np.random.default_rng(7)
+    if kind == "flat":
+        shape = (3, bands)
+    elif kind == "cube4d":
+        shape = (3, bands, p, p)
+    else:
+        shape = (3, 1, bands, p, p)
+    x = rng.standard_normal(shape).astype(np.float32)
+
+    # make BatchNorm running stats non-trivial, then freeze
+    if any("running_mean" in k for k in ref.state_dict()):
+        ref.train()
+        with torch.no_grad():
+            for _ in range(3):
+                ref(torch.from_numpy(x + rng.standard_normal(shape).astype(np.float32)))
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x),
+        deterministic=True,
+    )
+    variables = import_zoo(ref.state_dict(), variables)
+    got = model.apply(variables, jnp.asarray(x), deterministic=True)
+
+    if isinstance(want, tuple):  # semi-supervised: (logits, reconstruction)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), w.numpy(), rtol=1e-3, atol=5e-4
+            )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-3, atol=5e-4
+        )
