@@ -40,6 +40,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-5
 
+# Scoped-VMEM ceiling for the kernels. The Mosaic default (16 MB) caps the
+# backward kernel at ~8 rows/block; device-time profiles (scripts/
+# kernel_tune.py) show per-call time still falling at 16-32 rows, so raise
+# the ceiling (v5e has 128 MB VMEM; leave headroom for double-buffered block
+# DMA).
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
 # dropout site ids (distinct constants mixed into the PRNG seed)
 _SITE_ATTN = 1
 _SITE_PROJ = 3
@@ -408,12 +419,14 @@ def _seed_spec():
 
 
 def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16):
-    """Rows per grid step (measured optima on v5e): ~8 rows at seq 64, ~16 at
-    seq 20 — short sequences carry less work per row, and folding (see
-    :func:`_choose_fold`) keeps the score tiles compact, so more rows fit
-    before the backward kernel exhausts the 16 MB scoped VMEM. fp32 compute
-    doubles every matmul operand, so it gets half the rows."""
-    target = 8 if seq >= 32 else 16
+    """Rows per grid step (device-time optima on v5e via scripts/
+    kernel_tune.py): ~16 rows at seq 64, ~32 at seq 20. Larger blocks beyond
+    these measure flat-to-worse (fwd+bwd): more rows amortize per-step
+    overhead but the backward's recompute working set starts thrashing VMEM
+    (the raised ``_VMEM_LIMIT_BYTES`` makes these sizes compile at all; the
+    Mosaic default 16 MB caps the backward at ~8 rows). fp32 compute doubles
+    every matmul operand, so it gets half the rows."""
+    target = 16 if seq >= 32 else 32
     if jnp.dtype(compute_dtype).itemsize >= 4:
         target //= 2
     g = min(target, batch)
@@ -469,6 +482,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         + [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
         + _param_specs(),
         out_specs=pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, *tensors)
 
@@ -516,6 +530,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, re
         + [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
         + _param_specs(),
         out_specs=tuple(out_specs),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, grad_out, *tensors)
     dx = outs[0]

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Device-time tuner for the fused transformer layer kernels.
+
+Earlier rounds tuned block size / folding via wall-clock timings through the
+TPU tunnel, which carries ~2x run-to-run noise and a fixed ~27 ms dispatch
+cost. This harness instead reads exact per-call device durations from a
+jax.profiler trace, so sub-10% effects are measurable.
+
+For each (shape, block rows g, fold, dropout, direction) it runs a chain of
+dependent layer calls inside one jit (so dispatch cost is amortized and the
+device pipeline is realistic), traces it, and reports device ms per call.
+
+Usage: python scripts/kernel_tune.py [--chain 8]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM, HEADS, DH, MLP = 96, 8, 64, 64
+
+
+def device_op_ms(logdir: str) -> dict:
+    """name → list of durations (ms) for device XLA ops in the last trace."""
+    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    ev = d["traceEvents"]
+    dev_pids = {
+        e["pid"]
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "/device:" in e["args"].get("name", "")
+    }
+    tnames = {
+        (e["pid"], e.get("tid")): e["args"]["name"]
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    out = defaultdict(list)
+    for e in ev:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in dev_pids
+            and tnames.get((e["pid"], e.get("tid"))) == "XLA Ops"
+        ):
+            name = e["name"].rsplit(".", 1)[0]
+            out[name].append(e["dur"] / 1e3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--shapes", default="spatial,spectral")
+    ap.add_argument("--gs", default="")
+    ap.add_argument("--dropout", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.ops import fused_layer as fl
+    from maskedsst_tpu.utils.profiling import trace
+
+    rng = np.random.default_rng(0)
+
+    def mk_params():
+        def r(*sh):
+            return jnp.asarray(rng.standard_normal(sh) * 0.02, jnp.float32)
+
+        inner = HEADS * DH
+        return fl.LayerParams(
+            ln1_scale=jnp.ones((DIM,)), ln1_bias=jnp.zeros((DIM,)),
+            wqkv=r(DIM, 3 * inner), wout=r(inner, DIM), bout=jnp.zeros((DIM,)),
+            ln2_scale=jnp.ones((DIM,)), ln2_bias=jnp.zeros((DIM,)),
+            w1=r(DIM, MLP), b1=jnp.zeros((MLP,)), w2=r(MLP, DIM), b2=jnp.zeros((DIM,)),
+        )
+
+    SHAPES = {
+        "spatial": (64 * 20, 64),   # [b*c, hw] tokens
+        "spectral": (64 * 64, 20),  # [b*hw, c] tokens
+    }
+
+    params = mk_params()
+    chain = args.chain
+    results = []
+
+    for shape_name in args.shapes.split(","):
+        b, s = SHAPES[shape_name]
+        x0 = jnp.asarray(rng.standard_normal((b, s, DIM)), jnp.bfloat16)
+        default_g = fl._choose_block(b, s, HEADS, DH)
+        gs = [int(v) for v in args.gs.split(",") if v] or sorted(
+            {default_g, 4, 8, 16, 32, 64} & {g for g in range(1, b + 1) if b % g == 0}
+        )
+        for g in gs:
+            orig_choose = fl._choose_block
+            fl._choose_block = lambda *a, **k: g
+            try:
+                for mode in ("fwd", "fwdbwd"):
+                  try:
+                    def run_fwd(x):
+                        for i in range(chain):
+                            x = fl.fused_transformer_layer(
+                                x, params, jnp.int32(i), HEADS, DH,
+                                jnp.bfloat16, args.dropout, True,
+                            )
+                        return x
+
+                    if mode == "fwd":
+                        fn = jax.jit(run_fwd)
+                        out = fn(x0)
+                        _ = np.asarray(out)[:1, :1, :1]
+                        logdir = f"/tmp/ktune/{shape_name}_g{g}_{mode}"
+                        with trace(logdir, timeout_s=20.0):
+                            out = fn(x0)
+                            _ = np.asarray(out)[:1, :1, :1]
+                    else:
+                        loss_fn = lambda x: jnp.sum(run_fwd(x).astype(jnp.float32))
+                        fn = jax.jit(jax.grad(loss_fn))
+                        out = fn(x0)
+                        _ = np.asarray(out)[:1, :1, :1]
+                        logdir = f"/tmp/ktune/{shape_name}_g{g}_{mode}"
+                        with trace(logdir, timeout_s=20.0):
+                            out = fn(x0)
+                            _ = np.asarray(out)[:1, :1, :1]
+                    ops = device_op_ms(logdir)
+                    # fwd pallas op name contains 'fused_layer' via the kernel
+                    # function name; fall back to custom-call aggregation
+                    tot = {
+                        n: (sum(v), len(v))
+                        for n, v in ops.items()
+                        if n in ("run_fwd", "jvp__", "transpose_jvp___")
+                        or "transformer" in n
+                    }
+                    label = f"{shape_name} g={g:3d} {mode:6s} drop={args.dropout}"
+                    if tot:
+                        alln = sum(t for t, _ in tot.values())
+                        counts = {n: c for n, (t, c) in tot.items()}
+                        results.append((label, alln / chain, counts))
+                        print(f"{label}: {alln / chain:7.3f} ms/layer  {counts}")
+                    else:
+                        print(f"{label}: no kernel ops found; keys={list(ops)[:8]}")
+                  except Exception as exc:
+                    msg = str(exc)
+                    short = "VMEM OOM" if "vmem" in msg.lower() else msg.splitlines()[0][:90]
+                    print(f"{shape_name} g={g:3d} {mode:6s}: FAILED ({short})")
+            finally:
+                fl._choose_block = orig_choose
+
+    print("\n== summary (ms per layer call chain-amortized) ==")
+    for label, ms, _ in sorted(results, key=lambda r: r[0]):
+        print(f"{ms:8.3f}  {label}")
+
+
+if __name__ == "__main__":
+    main()
