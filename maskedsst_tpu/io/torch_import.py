@@ -35,9 +35,13 @@ import numpy as np
 
 
 def _np(t) -> np.ndarray:
-    """torch tensor (or array) → float numpy array."""
+    """torch tensor (or array) → owned numpy array.
+
+    Copies: ``.numpy()`` aliases the torch storage, so an in-place torch
+    mutation after import (e.g. ``optimizer.step()`` in a parity harness)
+    would silently rewrite the imported tree."""
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
+        return t.detach().cpu().numpy().copy()
     return np.asarray(t)
 
 

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Serving/inference throughput of the ViTSpatialSpectral classifier.
+
+Measures cubes/sec/chip for the fused bf16 forward at the reference
+geometry (dim 96 / depth 4+4 / 200 bands / 8x8 cubes), the path a deployed
+classifier serves. Chained batches inside one jit amortize the tunnel's
+fixed dispatch cost; completion is forced by a host fetch (CLAUDE.md
+timing methodology). Prints one JSON line per batch size.
+
+Usage: python scripts/serving_bench.py [--batches 256,512,1024] [--chain 8]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="256,512,1024")
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.models import ViTSpatialSpectral
+
+    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    model = ViTSpatialSpectral(
+        image_size=config.image_size,
+        spatial_patch_size=config.patch_size,
+        spectral_patch_size=config.band_patch_size,
+        num_classes=20,
+        dim=config.transformer_dim,
+        depth=config.transformer_depth,
+        heads=config.transformer_n_heads,
+        mlp_dim=config.transformer_mlp_dim,
+        channels=config.n_bands,
+        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
+        fused=True,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+
+    for bs in (int(b) for b in args.batches.split(",")):
+        x = jnp.asarray(rng.standard_normal((bs, config.n_bands, 8, 8)), jnp.bfloat16)
+        variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
+            jax.random.PRNGKey(0), x
+        )
+
+        @jax.jit
+        def serve(x):
+            # chain dependent forwards: logits of pass i perturb pass i+1's
+            # input so the whole chain must execute on device
+            for _ in range(args.chain):
+                logits = model.apply(variables, x, deterministic=True)
+                x = x + 1e-6 * jnp.mean(logits).astype(x.dtype)
+            return logits
+
+        out = serve(x)
+        _ = np.asarray(out)[:1, :1]  # compile + warm
+
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = serve(x)
+            _ = np.asarray(out)[:1, :1]
+            times.append(time.perf_counter() - t0)
+        dt = statistics.median(times)
+        cps = args.chain * bs / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "inference_cubes_per_sec_per_chip",
+                    "batch": bs,
+                    "value": round(cps, 1),
+                    "unit": "cubes/s/chip",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
