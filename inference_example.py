@@ -55,10 +55,11 @@ def main() -> None:
         params = finetune_driver._load_pretrained(config.checkpoint_path, config, model)
     if params is None:
         print("no checkpoint found — using fresh weights (geometry demo only)")
-        params = model.init(
+        # jit the init: eager flax init pays ~1 min of per-op dispatch on
+        # tunneled backends (CLAUDE.md)
+        params = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
             jax.random.PRNGKey(0),
             jnp.zeros((1, config.n_bands, size, size), jnp.float32),
-            deterministic=True,
         )["params"]
 
     dataset = get_dataset(config, supervised=True, synthetic=args.synthetic)

@@ -402,6 +402,10 @@ class Finetuner:
             return epoch >= epoch_budget + 1 and step >= step_budget + 1
 
         def log_step(m: dict):
+            # the reference constructs-but-never-raises this ValueError
+            # (src/utils.py:648-649) — a latent bug deliberately fixed here
+            if "loss" in m and not np.isfinite(m["loss"]):
+                raise ValueError("Loss is NaN")
             tracker.log(
                 {
                     "epoch": epoch,
