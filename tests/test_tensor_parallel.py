@@ -100,3 +100,48 @@ def test_shard_host_batch_single_process_equivalence():
     b = shard_host_batch(mesh, {"img": x})["img"]
     assert a.sharding == b.sharding
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_train_step_matches_single_device():
+    """The data-parallel train step (batch sharded over 8 devices, psum
+    gradient all-reduce) must produce the same updated parameters as the
+    identical step on a 1-device mesh — the end-to-end correctness claim for
+    the DP-over-ICI design (SURVEY.md §5.8)."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+    cfg.steps_per_call = 2
+
+    ds = SyntheticCubeDataset(num_tiles=24, n_bands=40, labeled=False)
+    states = {}
+    losses = {}
+    for label, mesh in (
+        ("dp8", get_mesh()),
+        ("single", get_mesh(devices=jax.devices()[:1])),
+    ):
+        tr = Pretrainer(cfg, mesh=mesh)
+        store = DeviceTileStore(ds, tr.mesh)
+        idx = np.stack(
+            list(IndexBatcher(len(store), 8, shuffle=True, drop_last=True, seed=0))
+        )[:2]
+        state, loss_seq = tr._train_superstep(
+            tr.state, store.arrays["img"], jnp.asarray(idx)
+        )
+        states[label] = jax.device_get(state.params)
+        losses[label] = np.asarray(loss_seq)
+
+    np.testing.assert_allclose(losses["dp8"], losses["single"], rtol=1e-5)
+    for pa, pb in zip(
+        jax.tree.leaves(states["dp8"]), jax.tree.leaves(states["single"])
+    ):
+        # fp32; only the gradient-reduction order differs between shardings
+        np.testing.assert_allclose(pa, pb, rtol=3e-5, atol=1e-6)
