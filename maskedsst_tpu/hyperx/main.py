@@ -85,6 +85,19 @@ def main() -> None:
     parser.add_argument("--radiation_augmentation", action="store_true")
     parser.add_argument("--mixture_augmentation", action="store_true")
     parser.add_argument("--download", action="store_true")
+    parser.add_argument(
+        "--restore", default=None,
+        help="params checkpoint (.msgpack) loaded before training "
+        "(reference --restore, DeepHyperX/main.py:98,401-402)",
+    )
+    parser.add_argument(
+        "--train_set", default=None,
+        help="ground-truth file for the train split (.mat/.npy/...)",
+    )
+    parser.add_argument(
+        "--test_set", default=None,
+        help="ground-truth file for the test split (.mat/.npy/...)",
+    )
     parser.add_argument("--synthetic-scene", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument(
@@ -99,6 +112,7 @@ def main() -> None:
     from maskedsst_tpu.hyperx.utils import (
         compute_imf_weights,
         metrics,
+        resolve_gt,
         sample_gt,
         show_results,
     )
@@ -115,7 +129,9 @@ def main() -> None:
 
     results = []
     for run in range(args.runs):
-        train_gt, test_gt = sample_gt(gt, args.training_sample, mode=args.sampling_mode)
+        train_gt, test_gt = resolve_gt(
+            gt, args.train_set, args.test_set, args.training_sample, args.sampling_mode
+        )
         print(
             f"run {run}: {np.count_nonzero(train_gt)} train / "
             f"{np.count_nonzero(test_gt)} test pixels"
@@ -151,13 +167,20 @@ def main() -> None:
             train_ds = HyperX(img, train_gt2, **hp)
             val_ds = HyperX(img, val_gt, **hp)
             trainer = HyperXTrainer(model, opt, crit, hp)
+            if args.restore:
+                from maskedsst_tpu.train.checkpoint import restore_params
+
+                trainer.params = restore_params(args.restore, trainer.params)
+                print(f"restored params from {args.restore}")
             save_dir = None
             if args.checkpoint_dir and args.checkpoint_dir != "none":
                 from maskedsst_tpu.hyperx.utils import camel_to_snake
 
                 dataset_name = "synthetic" if args.synthetic_scene else args.dataset
+                # reference layout: checkpoints/{model_class_snake}/{dataset}
+                # (save_model, DeepHyperX/models.py:1137-1145)
                 save_dir = os.path.join(
-                    args.checkpoint_dir, camel_to_snake(args.model), dataset_name
+                    args.checkpoint_dir, camel_to_snake(type(model).__name__), dataset_name
                 )
             trainer.train(
                 train_ds,

@@ -253,3 +253,60 @@ def convert_from_color_(arr_3d, palette=None):
         m = np.all(arr_3d == np.array(c).reshape(1, 1, 3), axis=2)
         arr_2d[m] = i
     return arr_2d
+
+
+def open_file(dataset_path: str) -> np.ndarray:
+    """Load a raster/GT array from .mat / .npy / .npz / .tif / .hdr
+    (reference DeepHyperX/utils.py:30-43). For .mat the first non-metadata
+    variable is returned, matching the reference's scipy loadmat usage."""
+    ext = dataset_path.rsplit(".", 1)[-1].lower()
+    if ext == "mat":
+        import scipy.io
+
+        blob = scipy.io.loadmat(dataset_path)
+        keys = [k for k in blob if not k.startswith("__")]
+        return np.asarray(blob[keys[0]])
+    if ext == "npy":
+        return np.load(dataset_path)
+    if ext == "npz":
+        blob = np.load(dataset_path)
+        return blob[list(blob.keys())[0]]
+    if ext in ("tif", "tiff"):
+        import rasterio
+
+        with rasterio.open(dataset_path) as f:
+            arr = f.read()
+        return arr[0] if arr.shape[0] == 1 else arr.transpose(1, 2, 0)
+    if ext == "hdr":
+        import spectral
+
+        return np.asarray(spectral.open_image(dataset_path).load())
+    raise ValueError(f"Unknown file format: {ext}")
+
+
+def resolve_gt(
+    gt: np.ndarray,
+    train_set: Optional[str],
+    test_set: Optional[str],
+    training_sample: float,
+    sampling_mode: str,
+):
+    """Train/test ground-truth resolution (reference DeepHyperX/main.py:295-306):
+    explicit files win; a train-only file tests on everything it does not
+    cover; otherwise sample from the scene GT. (A test-only file trains on
+    the remainder — the reference crashes on that combination.)"""
+    if train_set and test_set:
+        return open_file(train_set), open_file(test_set)
+    if train_set:
+        train_gt = open_file(train_set)
+        test_gt = np.copy(gt)
+        w, h = test_gt.shape
+        test_gt[(train_gt > 0)[:w, :h]] = 0
+        return train_gt, test_gt
+    if test_set:
+        test_gt = open_file(test_set)
+        train_gt = np.copy(gt)
+        w, h = train_gt.shape
+        train_gt[(test_gt > 0)[:w, :h]] = 0
+        return train_gt, test_gt
+    return sample_gt(gt, training_sample, mode=sampling_mode)

@@ -180,3 +180,70 @@ def test_end_to_end_other_model_classes(name):
     probs = trainer.test(img, batch_size=64)
     assert probs.shape == img.shape[:2] + (len(label_values),)
     assert np.isfinite(probs).all()
+
+
+def test_open_file_and_resolve_gt(tmp_path):
+    from maskedsst_tpu.hyperx.utils import open_file, resolve_gt
+
+    gt = np.zeros((10, 10), np.int64)
+    gt[:5] = 1
+    gt[5:] = 2
+    train = np.zeros_like(gt)
+    train[0, :3] = 1
+    test = np.zeros_like(gt)
+    test[9, :4] = 2
+
+    np.save(tmp_path / "train.npy", train)
+    import scipy.io
+
+    scipy.io.savemat(tmp_path / "test.mat", {"gt": test})
+
+    assert np.array_equal(open_file(str(tmp_path / "train.npy")), train)
+    assert np.array_equal(open_file(str(tmp_path / "test.mat")), test)
+
+    # both files -> used verbatim
+    tr, te = resolve_gt(gt, str(tmp_path / "train.npy"), str(tmp_path / "test.mat"), 0.1, "random")
+    assert np.array_equal(tr, train) and np.array_equal(te, test)
+
+    # train only -> test = scene GT minus train pixels (main.py:298-302)
+    tr, te = resolve_gt(gt, str(tmp_path / "train.npy"), None, 0.1, "random")
+    assert np.array_equal(tr, train)
+    assert (te[train > 0] == 0).all()
+    assert te.sum() == gt.sum() - gt[train > 0].sum()
+
+    # neither -> sampled split partitions the labeled pixels
+    tr, te = resolve_gt(gt, None, None, 0.5, "random")
+    assert ((tr > 0) & (te > 0)).sum() == 0
+    assert np.array_equal((tr > 0) | (te > 0), gt > 0)
+
+
+def test_cli_restore_and_gt_files(tmp_path, monkeypatch, capsys):
+    """--train_set/--test_set GT files and --restore round-trip through the
+    real CLI entry point."""
+    import sys
+
+    from maskedsst_tpu.hyperx.main import main, synthetic_scene
+    from maskedsst_tpu.hyperx.utils import sample_gt
+
+    np.random.seed(3)
+    _, gt, *_ = synthetic_scene()
+    train_gt, test_gt = sample_gt(gt, 0.2, mode="random")
+    np.save(tmp_path / "train.npy", train_gt)
+    np.save(tmp_path / "test.npy", test_gt)
+
+    argv = [
+        "main", "--model", "li", "--synthetic-scene", "--epoch", "1",
+        "--max-steps", "3",
+        "--train_set", str(tmp_path / "train.npy"),
+        "--test_set", str(tmp_path / "test.npy"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    ckpt = tmp_path / "ckpt" / "li_et_al" / "synthetic" / "best.msgpack"
+    assert ckpt.exists()
+
+    monkeypatch.setattr(sys, "argv", argv + ["--restore", str(ckpt)])
+    main()
+    out = capsys.readouterr().out
+    assert "restored params from" in out
