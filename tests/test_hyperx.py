@@ -247,3 +247,42 @@ def test_cli_restore_and_gt_files(tmp_path, monkeypatch, capsys):
     main()
     out = capsys.readouterr().out
     assert "restored params from" in out
+
+
+def test_standalone_inference_cli(tmp_path, monkeypatch):
+    """hyperx.inference: checkpoint -> sliding-window maps on a .npy scene
+    (reference DeepHyperX/inference.py:16-163)."""
+    import sys
+
+    from maskedsst_tpu.hyperx.inference import main as infer_main
+    from maskedsst_tpu.hyperx.training import HyperXTrainer
+    from maskedsst_tpu.hyperx.main import synthetic_scene
+    from maskedsst_tpu.models.zoo import get_model
+
+    np.random.seed(5)
+    img, gt, label_values, ignored, _, _ = synthetic_scene(n_bands=12, size=20, n_classes=3)
+    train_gt, _ = sample_gt(gt, 0.4, mode="random")
+    model, opt, crit, hp = get_model(
+        "li", n_classes=len(label_values), n_bands=12, ignored_labels=ignored,
+        epoch=1, batch_size=32,
+    )
+    trainer = HyperXTrainer(model, opt, crit, hp)
+    trainer.train(HyperX(img, train_gt, **hp), epochs=1)
+    ckpt = tmp_path / "li.msgpack"
+    trainer.save(str(ckpt))
+
+    scene = tmp_path / "scene.npy"
+    np.save(scene, img)
+    out = tmp_path / "out"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["inference", "--model", "li", "--checkpoint", str(ckpt),
+         "--image", str(scene), "--n-classes", str(len(label_values)),
+         "--batch-size", "32", "--out", str(out)],
+    )
+    infer_main()
+    probs = np.load(out / "probs.npy")
+    pred = np.load(out / "prediction.npy")
+    assert probs.shape == img.shape[:2] + (len(label_values),)
+    assert pred.shape == img.shape[:2]
+    assert np.isfinite(probs).all()
