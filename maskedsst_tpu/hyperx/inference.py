@@ -42,7 +42,6 @@ def main() -> None:
 
     from maskedsst_tpu.hyperx.training import HyperXTrainer
     from maskedsst_tpu.models.zoo import get_model
-    from maskedsst_tpu.train.checkpoint import restore_params
 
     overrides = {"test_stride": args.test_stride, "batch_size": args.batch_size}
     if args.patch_size:
@@ -55,7 +54,7 @@ def main() -> None:
         **overrides,
     )
     trainer = HyperXTrainer(model, opt, crit, hp)
-    trainer.params = restore_params(args.checkpoint, trainer.params)
+    trainer.restore(args.checkpoint)  # params + BN running stats
 
     probs = trainer.test(img, batch_size=args.batch_size)
     prediction = np.argmax(probs, axis=-1)

@@ -168,9 +168,7 @@ def main() -> None:
             val_ds = HyperX(img, val_gt, **hp)
             trainer = HyperXTrainer(model, opt, crit, hp)
             if args.restore:
-                from maskedsst_tpu.train.checkpoint import restore_params
-
-                trainer.params = restore_params(args.restore, trainer.params)
+                trainer.restore(args.restore)  # params + BN running stats
                 print(f"restored params from {args.restore}")
             save_dir = None
             if args.checkpoint_dir and args.checkpoint_dir != "none":

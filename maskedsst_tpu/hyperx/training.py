@@ -115,18 +115,42 @@ class HyperXTrainer:
 
     # --- loops --------------------------------------------------------------
     def save(self, path: str) -> None:
-        """Persist the model params (flax msgpack; loaded back by
-        ``maskedsst_tpu.train.checkpoint.restore_params`` / inference.py).
-        Counterpart of the reference's ``save_model``
-        (DeepHyperX/models.py:1137-1154)."""
+        """Persist the model variables (flax msgpack; loaded back by
+        :meth:`restore`). Counterpart of the reference's ``save_model``
+        (DeepHyperX/models.py:1137-1154). BatchNorm running statistics are
+        saved alongside the params — the reference's torch ``state_dict``
+        includes running_mean/running_var, so a restore that dropped them
+        would evaluate BN nets with init stats."""
         import os
 
-        from maskedsst_tpu.train.checkpoint import save_checkpoint
+        from flax import serialization
 
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
-        save_checkpoint(path, self.params)
+        payload = {"params": self.params}
+        if self.batch_stats:
+            payload["batch_stats"] = self.batch_stats
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+    def restore(self, path: str) -> None:
+        """Load params (+ batch_stats when present) saved by :meth:`save`;
+        also accepts bare-params checkpoints (older files, finetune
+        exports)."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            data = f.read()
+        raw = serialization.msgpack_restore(data)
+        if "params" in raw:
+            self.params = serialization.from_state_dict(self.params, raw["params"])
+            if self.batch_stats and "batch_stats" in raw:
+                self.batch_stats = serialization.from_state_dict(
+                    self.batch_stats, raw["batch_stats"]
+                )
+        else:  # bare params tree
+            self.params = serialization.from_state_dict(self.params, raw)
 
     def train(
         self,

@@ -255,33 +255,28 @@ def convert_from_color_(arr_3d, palette=None):
     return arr_2d
 
 
-def open_file(dataset_path: str) -> np.ndarray:
-    """Load a raster/GT array from .mat / .npy / .npz / .tif / .hdr
-    (reference DeepHyperX/utils.py:30-43). For .mat the first non-metadata
-    variable is returned, matching the reference's scipy loadmat usage."""
+def open_file(dataset_path: str):
+    """Load a scene/GT file with the reference's semantics
+    (DeepHyperX/utils.py:30-43: .mat returns the raw loadmat dict), plus
+    .npy/.npz convenience. The single implementation lives in
+    hyperx.datasets; this is the reference's import location."""
     ext = dataset_path.rsplit(".", 1)[-1].lower()
-    if ext == "mat":
-        import scipy.io
-
-        blob = scipy.io.loadmat(dataset_path)
-        keys = [k for k in blob if not k.startswith("__")]
-        return np.asarray(blob[keys[0]])
     if ext == "npy":
         return np.load(dataset_path)
     if ext == "npz":
         blob = np.load(dataset_path)
         return blob[list(blob.keys())[0]]
-    if ext in ("tif", "tiff"):
-        import rasterio
+    from maskedsst_tpu.hyperx.datasets import open_file as _open_file
 
-        with rasterio.open(dataset_path) as f:
-            arr = f.read()
-        return arr[0] if arr.shape[0] == 1 else arr.transpose(1, 2, 0)
-    if ext == "hdr":
-        import spectral
+    return _open_file(dataset_path)
 
-        return np.asarray(spectral.open_image(dataset_path).load())
-    raise ValueError(f"Unknown file format: {ext}")
+
+def _as_gt_array(loaded) -> np.ndarray:
+    """open_file result → GT array (first non-metadata variable of a .mat)."""
+    if isinstance(loaded, dict):
+        keys = [k for k in loaded if not k.startswith("__")]
+        return np.asarray(loaded[keys[0]])
+    return np.asarray(loaded)
 
 
 def resolve_gt(
@@ -296,15 +291,15 @@ def resolve_gt(
     cover; otherwise sample from the scene GT. (A test-only file trains on
     the remainder — the reference crashes on that combination.)"""
     if train_set and test_set:
-        return open_file(train_set), open_file(test_set)
+        return _as_gt_array(open_file(train_set)), _as_gt_array(open_file(test_set))
     if train_set:
-        train_gt = open_file(train_set)
+        train_gt = _as_gt_array(open_file(train_set))
         test_gt = np.copy(gt)
         w, h = test_gt.shape
         test_gt[(train_gt > 0)[:w, :h]] = 0
         return train_gt, test_gt
     if test_set:
-        test_gt = open_file(test_set)
+        test_gt = _as_gt_array(open_file(test_set))
         train_gt = np.copy(gt)
         w, h = train_gt.shape
         train_gt[(test_gt > 0)[:w, :h]] = 0

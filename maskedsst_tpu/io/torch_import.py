@@ -302,10 +302,18 @@ def import_zoo(sd: Mapping[str, Any], variables: Mapping[str, Any]) -> Dict[str,
             assert got == want, f"{where}.{name}: shape {got} != {want}"
             target[name] = jnp.asarray(value, target[name].dtype)
 
+    # modules the reference registers but never uses in forward — the only
+    # groups allowed to miss a flax counterpart (LiuEtAl.fc1_dec_bn,
+    # DeepHyperX/models.py:855 vs :869)
+    known_unused = {"fc1_dec_bn"}
     for prefix, tensors in groups.items():
         flax_name = prefix.replace(".", "_")
         if flax_name not in params:
-            continue  # registered but unused in forward (reference quirk)
+            assert prefix in known_unused, (
+                f"state-dict group {prefix!r} has no flax module {flax_name!r}; "
+                "refusing to silently drop weights"
+            )
+            continue
         if "weight_ih_l0" in tensors:  # torch nn.GRU, single layer
             _assign(
                 params[flax_name],

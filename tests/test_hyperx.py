@@ -168,15 +168,15 @@ def test_end_to_end_other_model_classes(name):
     history = trainer.train(ds, epochs=2)
     assert len(history["loss"]) == 2
     assert np.isfinite(history["loss"]).all()
-    if any(
-        "BatchNorm" in str(k) or k.endswith("_bn") or k in ("gru_bn",)
-        for k in trainer.batch_stats
-    ):
-        # running stats must have moved off the init values
-        means = jax.tree_util.tree_leaves(
-            {k: v for k, v in trainer.batch_stats.items() if "mean" in str(v) or True}
-        )
-        assert any(float(jnp.abs(m).max()) > 0 for m in means if hasattr(m, "dtype"))
+    if trainer.batch_stats:
+        # running MEANS start at exactly 0; training must have moved them
+        mean_leaves = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(trainer.batch_stats)[0]
+            if any(getattr(k, "key", None) == "mean" for k in path)
+        ]
+        assert mean_leaves, "no running-mean leaves found in batch_stats"
+        assert any(float(jnp.abs(m).max()) > 0 for m in mean_leaves)
     probs = trainer.test(img, batch_size=64)
     assert probs.shape == img.shape[:2] + (len(label_values),)
     assert np.isfinite(probs).all()
@@ -199,7 +199,9 @@ def test_open_file_and_resolve_gt(tmp_path):
     scipy.io.savemat(tmp_path / "test.mat", {"gt": test})
 
     assert np.array_equal(open_file(str(tmp_path / "train.npy")), train)
-    assert np.array_equal(open_file(str(tmp_path / "test.mat")), test)
+    # .mat keeps the reference's loadmat-dict semantics (DeepHyperX/utils.py:33)
+    blob = open_file(str(tmp_path / "test.mat"))
+    assert isinstance(blob, dict) and np.array_equal(blob["gt"], test)
 
     # both files -> used verbatim
     tr, te = resolve_gt(gt, str(tmp_path / "train.npy"), str(tmp_path / "test.mat"), 0.1, "random")
@@ -286,3 +288,33 @@ def test_standalone_inference_cli(tmp_path, monkeypatch):
     assert probs.shape == img.shape[:2] + (len(label_values),)
     assert pred.shape == img.shape[:2]
     assert np.isfinite(probs).all()
+
+
+def test_save_restore_roundtrip_includes_batch_stats(tmp_path):
+    """save()/restore() must carry BatchNorm running statistics — the torch
+    state_dict the reference saves includes running_mean/var, so a restore
+    without them would evaluate BN nets with init stats."""
+    from maskedsst_tpu.hyperx.main import synthetic_scene
+    from maskedsst_tpu.hyperx.training import HyperXTrainer
+    from maskedsst_tpu.models.zoo import get_model
+
+    np.random.seed(7)
+    img, gt, label_values, ignored, _, _ = synthetic_scene(n_bands=12, size=20, n_classes=3)
+    train_gt, _ = sample_gt(gt, 0.4, mode="random")
+    model, opt, crit, hp = get_model(
+        "liu", n_classes=len(label_values), n_bands=12, ignored_labels=ignored,
+        epoch=1, batch_size=32,
+    )
+    trainer = HyperXTrainer(model, opt, crit, hp)
+    trainer.train(HyperX(img, train_gt, **hp), epochs=1)
+    path = tmp_path / "liu.msgpack"
+    trainer.save(str(path))
+
+    fresh = HyperXTrainer(model, opt, crit, hp)
+    # fresh stats differ from trained ones before restore
+    trained_means = jax.tree_util.tree_leaves(trainer.batch_stats)
+    fresh.restore(str(path))
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.params), jax.tree_util.tree_leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.batch_stats), trained_means):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

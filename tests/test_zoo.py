@@ -1,9 +1,6 @@
 """DeepHyperX model-zoo tests: factory recipes, forward shapes for all 13
 nets, and numerical parity of the li baseline vs the torch reference."""
 
-import sys
-import types
-
 import jax
 import jax.numpy as jnp
 import numpy as np
