@@ -54,10 +54,11 @@ class BlockwiseToPixels(nn.Module):
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
         """tokens [B, g, n, d] → pixel predictions [B, g, n, p]; block g uses
-        decoder g. Runs as one dense matmul against a block-diagonal
-        [g*d, g*p] weight (see BlockwisePatchEmbedding.embed for why)."""
-        from maskedsst_tpu.models.layers import _block_diag
-
+        decoder g. One batched einsum over the block axis — the earlier
+        block-diagonal dense form forced [.., g, n, d] ↔ [.., n, g*d]
+        relayouts (not views under TPU lane tiling) that cost more than the
+        batched matmul's per-instance overhead (see
+        BlockwisePatchEmbedding.embed)."""
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -67,13 +68,13 @@ class BlockwiseToPixels(nn.Module):
             "bias", nn.initializers.zeros, (self.num_spectral_blocks, self.pixels_per_patch)
         )
         dtype = self.dtype or tokens.dtype
-        b, g, n, d = tokens.shape
-        p = self.pixels_per_patch
-        x = tokens.transpose(0, 2, 1, 3).reshape(b, n, g * d)
-        w_bd = _block_diag(kernel.astype(dtype))  # [g*d, g*p]
-        out = jnp.einsum("bnc,ce->bne", x.astype(dtype), w_bd, preferred_element_type=dtype)
-        out = out.reshape(b, n, g, p) + bias.astype(dtype)[None, None, :, :]
-        return out.transpose(0, 2, 1, 3)
+        out = jnp.einsum(
+            "bgnd,gdp->bgnp",
+            tokens.astype(dtype),
+            kernel.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        return out + bias.astype(dtype)[None, :, None, :]
 
 
 class SimMIMSpatialSpectral(nn.Module):
