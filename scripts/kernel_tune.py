@@ -63,6 +63,7 @@ def main() -> None:
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--shapes", default="spatial,spectral")
     ap.add_argument("--gs", default="")
+    ap.add_argument("--folds", default="", help="comma list of fold overrides (spectral-style short-seq folding)")
     ap.add_argument("--dropout", type=float, default=0.1)
     args = ap.parse_args()
 
@@ -103,9 +104,14 @@ def main() -> None:
         gs = [int(v) for v in args.gs.split(",") if v] or sorted(
             {default_g, 4, 8, 16, 32, 64} & {g for g in range(1, b + 1) if b % g == 0}
         )
+        folds = [int(f) for f in args.folds.split(",") if f] or [None]
         for g in gs:
+          for fold in folds:
             orig_choose = fl._choose_block
+            orig_fold = fl._choose_fold
             fl._choose_block = lambda *a, **k: g
+            if fold is not None:
+                fl._choose_fold = (lambda f: lambda seq, gg: f if (gg % f == 0 and f * seq <= 128) else 1)(fold)
             try:
                 for mode in ("fwd", "fwdbwd"):
                   try:
@@ -143,7 +149,7 @@ def main() -> None:
                         if n in ("run_fwd", "jvp__", "transpose_jvp___")
                         or "transformer" in n
                     }
-                    label = f"{shape_name} g={g:3d} {mode:6s} drop={args.dropout}"
+                    label = f"{shape_name} g={g:3d} f={fold if fold is not None else 'auto'} {mode:6s} drop={args.dropout}"
                     if tot:
                         alln = sum(t for t, _ in tot.values())
                         counts = {n: c for n, (t, c) in tot.items()}
@@ -154,9 +160,10 @@ def main() -> None:
                   except Exception as exc:
                     msg = str(exc)
                     short = "VMEM OOM" if "vmem" in msg.lower() else msg.splitlines()[0][:90]
-                    print(f"{shape_name} g={g:3d} {mode:6s}: FAILED ({short})")
+                    print(f"{shape_name} g={g:3d} f={fold} {mode:6s}: FAILED ({short})")
             finally:
                 fl._choose_block = orig_choose
+                fl._choose_fold = orig_fold
 
     print("\n== summary (ms per layer call chain-amortized) ==")
     for label, ms, _ in sorted(results, key=lambda r: r[0]):
