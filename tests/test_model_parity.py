@@ -161,3 +161,37 @@ def test_vit_rgb_parity():
         out = np.asarray(model.apply({"params": params}, jnp.asarray(x), deterministic=True))
         assert out.shape == ref_out.shape
         np.testing.assert_allclose(out, ref_out, atol=ATOL, rtol=1e-4)
+
+
+def test_exported_pth_loads_into_reference(tmp_path):
+    """The .pth export path: our params → reference state-dict keys →
+    torch.save → reference ``load_state_dict(strict=True)`` → identical
+    logits. The file-level counterpart of test_export_import_roundtrip."""
+    import torch
+
+    from maskedsst_tpu.io.torch_import import export_vit_spatial_spectral
+
+    _, ref_vss, _, _ = load_reference()
+    kwargs = _common_kwargs()
+    model = ViTSpatialSpectral(**kwargs)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, kwargs["channels"], 4, 4)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(x), deterministic=True)["params"]
+
+    sd = export_vit_spatial_spectral(params, model)
+    path = tmp_path / "exported.pth"
+    torch.save(
+        {"model_state_dict": {k: torch.from_numpy(v.copy()) for k, v in sd.items()}},
+        path,
+    )
+
+    ref_model = ref_vss.ViTSpatialSpectral(**kwargs)
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    missing, unexpected = ref_model.load_state_dict(blob["model_state_dict"], strict=True)
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x), deterministic=True))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=1e-4)
