@@ -44,7 +44,7 @@ ZOO_CASES = {
 @pytest.mark.parametrize("name", sorted(ZOO_CASES))
 def test_zoo_forward_shapes(name):
     if name == "chen":
-        pytest.skip("chen needs 27x27 patches + 3x 32-band convs — covered in slow suite")
+        pytest.skip("chen needs 27x27 patches + >=94 bands; covered by test_zoo_parity_with_reference[chen] at real geometry")
     model, opt, crit, hp = get_model(
         name, n_classes=N_CLASSES, n_bands=N_BANDS, ignored_labels=[-1]
     )
@@ -52,7 +52,7 @@ def test_zoo_forward_shapes(name):
     in_shape = ZOO_CASES[name][0](p)
     want = ZOO_CASES[name][1](p)
     if name == "sharma":
-        pytest.skip("sharma needs 64x64 patches — covered in slow suite")
+        pytest.skip("sharma needs 64x64 patches; covered by test_zoo_parity_with_reference[sharma] at real geometry")
     out = _init_and_run(model, in_shape)
     if isinstance(out, tuple):  # semi-supervised (liu, boulch)
         logits, rec = out
