@@ -1,0 +1,62 @@
+"""Serving-path tests: the mesh-sharded Predictor matches direct apply,
+handles ragged batches, BatchNorm models, and on-device postprocessing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskedsst_tpu.models import ViTSpatialSpectral
+from maskedsst_tpu.serve import Predictor
+
+
+def _vit():
+    return ViTSpatialSpectral(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10, num_classes=6,
+        dim=24, depth=2, heads=2, dim_head=8, mlp_dim=16, channels=40,
+        spectral_pos=[0, 1, 2, 3],
+    )
+
+
+def test_predictor_matches_direct_apply_with_ragged_tail():
+    model = _vit()
+    x = np.random.default_rng(0).standard_normal((19, 40, 8, 8)).astype(np.float32)
+    variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
+        jax.random.PRNGKey(0), jnp.asarray(x[:1])
+    )
+    pred = Predictor(model, variables, batch_size=8)
+    got = pred(x)  # 19 = 2 full chunks + ragged 3
+    want = np.asarray(model.apply(variables, jnp.asarray(x), deterministic=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_predictor_postprocess_and_batch_stats():
+    from maskedsst_tpu.models.zoo import get_model
+
+    model, _, _, hp = get_model("liu", n_classes=4, n_bands=12, ignored_labels=[0])
+    p = hp["patch_size"]
+    x = np.random.default_rng(1).standard_normal((10, 12, p, p)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x[:2]),
+        deterministic=True,
+    )
+    pred = Predictor(
+        model, variables, batch_size=8,
+        postprocess=lambda logits: jnp.argmax(logits, axis=-1),
+    )
+    got = pred(x)
+    logits, _ = model.apply(variables, jnp.asarray(x), deterministic=True)
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_predictor_empty_input():
+    model = _vit()
+    x = np.zeros((1, 40, 8, 8), np.float32)
+    variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
+        jax.random.PRNGKey(0), jnp.asarray(x)
+    )
+    pred = Predictor(model, variables, batch_size=8)
+    out = pred(np.zeros((0, 40, 8, 8), np.float32))
+    assert out.shape[0] == 0
