@@ -139,6 +139,14 @@ class Houston2018Dataset:
         )
         self.labeled_idx = labeled[ok]
 
+    @property
+    def stochastic(self) -> bool:
+        """True when ``__getitem__`` draws a FRESH random patch each call
+        (random-patch train mode). Such a dataset must not be materialized
+        once into an HBM device store — that would freeze one draw for the
+        whole run while the reference re-samples every epoch."""
+        return not self.test and not self.fix_train_patches and not self.pixelwise
+
     def __len__(self) -> int:
         if (self.test and not self.pixelwise) or self.fix_train_patches:
             return len(self.img_patches)

@@ -58,6 +58,10 @@ class Subset:
         self.dataset = dataset
         self.indices = list(int(i) for i in indices)
 
+    @property
+    def stochastic(self) -> bool:
+        return bool(getattr(self.dataset, "stochastic", False))
+
     def __len__(self):
         return len(self.indices)
 
@@ -134,21 +138,37 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons the epoch
 
         def producer():
             try:
                 for idx in batches:
-                    q.put(self._make(idx))
-            finally:
-                q.put(sentinel)
+                    item = self._make(idx)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # surface dataset errors, don't
+                q.put(("__error__", exc))  # silently truncate the epoch
+                return
+            q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()  # unblock the producer if the consumer broke early
 
     def _make(self, idx: np.ndarray) -> dict:
         batch = _collate([self.dataset[int(i)] for i in idx])

@@ -37,6 +37,7 @@ from maskedsst_tpu.train.optim import (
     get_learning_rates,
 )
 from maskedsst_tpu.train.train_state import TrainState
+from maskedsst_tpu.train.windows import window_tiles
 from maskedsst_tpu.utils.tracking import Throughput, Tracker
 
 
@@ -181,12 +182,7 @@ class Finetuner:
         if crop and shifting_window:
             # tile into non-overlapping s×s patches stacked on batch
             # (stack_image_batch, src/utils.py:451-474)
-            b, c = img.shape[0], img.shape[1]
-            k = img.shape[2] // s
-            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
-            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
-            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
-            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+            img, label = window_tiles(img, s, label)
         elif crop:
             # one random crop per batch (utils.py:614-628)
             hi = max(self.tile_size - self.config.image_size - self.config.get("patch_sub", 0), 1)
@@ -220,21 +216,27 @@ class Finetuner:
         return state, metrics
 
     def _eval_sums(self, state: TrainState, img, label):
-        """Per-chunk metric SUMS (loss*valid, correct, valid, confusion
-        matrix); host aggregation over chunks/batches then yields exact
-        global metrics."""
+        """Per-chunk metric SUMS (weighted-loss numerator + weight mass,
+        correct, valid, confusion matrix); host aggregation over
+        chunks/batches then yields exact global metrics, including under
+        per-class loss weights (li recipe)."""
+        from maskedsst_tpu.train.losses import cross_entropy_sums
         from maskedsst_tpu.train.metrics import confusion_matrix
 
         s = self.config.image_size - self.config.get("patch_sub", 0)
         if self.center_pixel and label.ndim == 3:
             center = s // 2
             label = label[:, center, center]
-        loss, logits = self._forward_loss(state.params, img, label, state.rng, False)
+        _, logits = self._forward_loss(state.params, img, label, state.rng, False)
+        loss_num, loss_wsum = cross_entropy_sums(
+            logits, label, ignore_index=self.config.ignored_label, weight=self.class_weights
+        )
         pred = jnp.argmax(logits, axis=1)
         valid = (label != self.config.ignored_label)
         n_valid = jnp.sum(valid)
         return {
-            "loss_sum": loss * n_valid,
+            "loss_num": loss_num,
+            "loss_wsum": loss_wsum,
             "correct": jnp.sum((pred == label) & valid),
             "n_valid": n_valid,
             "cm": confusion_matrix(
@@ -275,12 +277,7 @@ class Finetuner:
         img, label = self._gather_batch(imgs, labels, idx)
         s = self.config.image_size - self.config.get("patch_sub", 0)
         if self._eval_windows:
-            b, c = img.shape[0], img.shape[1]
-            k = self.tile_size // s
-            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
-            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
-            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
-            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+            img, label = window_tiles(img, s, label)
         n = img.shape[0]
         chunk = n
         for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
@@ -299,12 +296,7 @@ class Finetuner:
         (utils.py:503-517), then fixed-size chunks for the jitted eval."""
         s = self.config.image_size - self.config.get("patch_sub", 0)
         if self._eval_windows:
-            b, c = img.shape[0], img.shape[1]
-            k = self.tile_size // s
-            img = img[:, :, : k * s, : k * s].reshape(b, c, k, s, k, s)
-            img = img.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
-            label = label[:, : k * s, : k * s].reshape(b, k, s, k, s)
-            label = label.transpose(0, 1, 3, 2, 4).reshape(b * k * k, s, s)
+            img, label = window_tiles(img, s, label)
         chunk = self.eval_chunk
         n = img.shape[0]
         for lo in range(0, n, chunk):
@@ -345,7 +337,12 @@ class Finetuner:
 
         # prefer HBM-resident samples (index-only host→device traffic)
         train_store = val_store = None
-        if cfg.get("device_data", True):
+        # datasets that draw fresh random samples per __getitem__ (e.g.
+        # houston2018 random-patch mode) must stream: a one-time device-store
+        # materialization would freeze a single draw for the whole run
+        if cfg.get("device_data", True) and not getattr(
+            train_dataset, "stochastic", False
+        ):
             try:
                 from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
 
@@ -394,12 +391,32 @@ class Finetuner:
         meter.start()
         history = {"train": [], "val": [], "best_val_acc": 0.0}
         best_val_acc = 0.0
+        last_val_loss = None  # most recent mean val loss (scheduler input)
         step, epoch = 0, 0
 
         def done() -> bool:
             if strict:
                 return epoch >= epoch_budget or step >= step_budget
             return epoch >= epoch_budget + 1 and step >= step_budget + 1
+
+        # reference logs the MEAN over the last logging_freq steps for
+        # loss/acc/macro_acc (finetune.py:190-202); device scalars buffer
+        # un-fetched and convert in one stack per logging boundary
+        from collections import deque
+
+        win = {k: deque(maxlen=cfg.logging_freq) for k in ("loss", "acc", "macro_acc")}
+
+        def push_window(m, j=None):
+            for k in win:
+                if k in m:
+                    win[k].append(m[k] if j is None else m[k][j])
+
+        def window_means() -> dict:
+            out = {}
+            for k, v in win.items():
+                if len(v):
+                    out[k] = float(np.mean(np.asarray(jnp.stack([jnp.asarray(x) for x in v]))))
+            return out
 
         def log_step(m: dict):
             # the reference constructs-but-never-raises this ValueError
@@ -426,12 +443,13 @@ class Finetuner:
                     self.state, metrics = self._train_step(
                         self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
                     )
+                    push_window(metrics)
                     step += 1
                     meter.tick()
                     if strict and step >= step_budget:
                         break
                     if step % cfg.logging_freq == 0:
-                        log_step({k2: float(v) for k2, v in metrics.items()})
+                        log_step(window_means())
             else:
                 # HBM-resident samples: index batches are tiny; chunk them
                 # into supersteps (scan of k steps per dispatch)
@@ -450,10 +468,11 @@ class Finetuner:
                         )
                         metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
                         for j in range(k):
+                            push_window(metrics_k, j)
                             step += 1
                             meter.tick()
                             if step % cfg.logging_freq == 0:
-                                log_step({kk: float(v[j]) for kk, v in metrics_k.items()})
+                                log_step(window_means())
                         metrics = {kk: v[-1] for kk, v in metrics_k.items()}
                         i += k
                         if strict and step >= step_budget:
@@ -468,12 +487,13 @@ class Finetuner:
                         train_store.arrays["label"],
                         jnp.asarray(batch),
                     )
+                    push_window(metrics)
                     step += 1
                     meter.tick()
                     if strict and step >= step_budget:
                         break
                     if step % cfg.logging_freq == 0:
-                        log_step({k2: float(v) for k2, v in metrics.items()})
+                        log_step(window_means())
             if metrics is not None:
                 history["train"].append({k: float(v) for k, v in metrics.items()})
 
@@ -502,7 +522,8 @@ class Finetuner:
                     )
                     present = support > 0
                     mean = {
-                        "loss": float(sums["loss_sum"]) / nv,
+                        "loss": float(sums["loss_num"])
+                        / max(float(sums["loss_wsum"]), 1e-12),
                         "acc": float(sums["correct"]) / nv,
                         "macro_acc": float(
                             (recall * present).sum() / max(present.sum(), 1)
@@ -518,9 +539,7 @@ class Finetuner:
                         step=step,
                     )
                     history["val"].append(mean)
-                    self.state = self.state.replace(
-                        opt_state=self.scheduler.update(self.state.opt_state, mean["loss"])
-                    )
+                    last_val_loss = mean["loss"]
                     save_now = (
                         epoch == epoch_budget
                         or epoch in cfg.get("checkpoint_save_epochs", [])
@@ -542,6 +561,14 @@ class Finetuner:
                                 cfg,
                                 extra={"epoch": epoch, "val_acc": best_val_acc},
                             )
+            # reference semantics: the plateau scheduler steps at the end of
+            # EVERY epoch with the (possibly stale) last mean validation loss
+            # (finetune.py:221 sits outside the validation-epoch gate), so
+            # bad-epoch counting advances between validations too
+            if last_val_loss is not None:
+                self.state = self.state.replace(
+                    opt_state=self.scheduler.update(self.state.opt_state, last_val_loss)
+                )
             epoch += 1
             if len(loader) == 0:
                 break

@@ -43,3 +43,30 @@ def cross_entropy(
         w = valid.astype(jnp.float32)
     total_w = jnp.maximum(w.sum(), 1e-12)
     return (nll * w).sum() / total_w
+
+
+def cross_entropy_sums(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    ignore_index: int = -1,
+    weight: Optional[jnp.ndarray] = None,
+):
+    """(weighted-NLL numerator, weight mass) for exact cross-chunk loss
+    aggregation: ``sum(nums) / sum(wsums)`` over chunks equals
+    :func:`cross_entropy` over their union — which ``mean_i * n_valid_i``
+    bookkeeping does NOT when per-class weights are set (each chunk's
+    weighted mean would be re-weighted by its count instead of its mass)."""
+    if logits.ndim == 4:  # [B, C, H, W] → [N, C]
+        num_classes = logits.shape[1]
+        logits = jnp.moveaxis(logits, 1, -1).reshape(-1, num_classes)
+        targets = targets.reshape(-1)
+    num_classes = logits.shape[-1]
+    valid = targets != ignore_index
+    safe_targets = jnp.clip(targets, 0, num_classes - 1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = weight[safe_targets] * valid
+    else:
+        w = valid.astype(jnp.float32)
+    return (nll * w).sum(), w.sum()

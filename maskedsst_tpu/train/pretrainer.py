@@ -37,6 +37,7 @@ from maskedsst_tpu.train.optim import (
     get_learning_rates,
 )
 from maskedsst_tpu.train.train_state import TrainState
+from maskedsst_tpu.train.windows import window_tiles
 from maskedsst_tpu.utils.tracking import Throughput, Tracker
 
 
@@ -251,13 +252,12 @@ class Pretrainer:
         (pretrain.py:166-184 loops windows serially; vectorizing over windows
         is loss-equivalent because all windows have the same element count).
         Windows run in bounded chunks via lax.map so the x(tile/s)^2 batch
-        expansion never exceeds HBM."""
+        expansion never exceeds HBM. Datasets whose samples are already at
+        image_size (e.g. houston2018 patches) skip the expansion, like the
+        reference's non-tile validation branch."""
         s = self.config.image_size
-        b, c = tiles.shape[0], tiles.shape[1]
-        k = self.tile_size // s
-        windows = tiles[:, :, : k * s, : k * s]
-        windows = windows.reshape(b, c, k, s, k, s)
-        windows = windows.transpose(0, 2, 4, 1, 3, 5).reshape(b * k * k, c, s, s)
+        c = tiles.shape[1]
+        (windows,) = window_tiles(tiles, s)
         n = windows.shape[0]
         chunk = n
         for cand in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
@@ -277,12 +277,25 @@ class Pretrainer:
     def resume(self, path: str) -> int:
         """Restore the FULL train state (params, optimizer moments, step,
         RNG) from a checkpoint — exact resume, which the reference cannot do
-        (it never saves optimizer state, SURVEY.md §5.4). Returns the step."""
-        from maskedsst_tpu.train.checkpoint import restore_checkpoint
+        (it never saves optimizer state, SURVEY.md §5.4). The host-side LR
+        scheduler restores from the metadata sidecar so the LR trajectory
+        continues rather than restarting. Returns the step."""
+        from maskedsst_tpu.train.checkpoint import load_metadata, restore_checkpoint
 
         self.state = restore_checkpoint(path, self.state)
         self.state = jax.device_put(self.state, self._replicated)
+        try:
+            sched = load_metadata(path).get("extra", {}).get("scheduler")
+        except FileNotFoundError:
+            sched = None
+        if sched and self.scheduler is not None:
+            self.scheduler.load_state_dict(sched)
         return int(self.state.step)
+
+    def _scheduler_extra(self) -> dict:
+        return (
+            {"scheduler": self.scheduler.state_dict()} if self.scheduler is not None else {}
+        )
 
     # --- loop ---------------------------------------------------------------
     def fit(
@@ -308,9 +321,12 @@ class Pretrainer:
         )
 
         # prefer HBM-resident tiles (index-only host→device traffic); fall
-        # back to streaming loaders when the set exceeds the HBM budget
+        # back to streaming loaders when the set exceeds the HBM budget, or
+        # when the dataset draws fresh random samples per __getitem__ (a
+        # one-time materialization would freeze its distribution — e.g.
+        # houston2018 random-patch mode)
         train_store = val_store = None
-        if cfg.get("device_data", True):
+        if cfg.get("device_data", True) and not getattr(train_ds, "stochastic", False):
             try:
                 from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
 
@@ -342,17 +358,26 @@ class Pretrainer:
         meter = Throughput(cfg.batch_size, num_chips=self.mesh.devices.size)
         meter.start()
         step = 0
-        losses: list = []
+        # per-step losses, kept as device scalars until a logging boundary
+        # (converting every step would serialize dispatch on tunneled
+        # backends); only the trailing window is ever converted
+        loss_window: list = []
         model_save_freq = cfg.model_save_freq
         history = {"train_loss": [], "val_loss": []}
 
         def log_maybe(epoch, prev_step):
-            nonlocal losses
+            nonlocal loss_window
             if step // cfg.logging_freq != prev_step // cfg.logging_freq:
-                loss = float(metrics["loss"])
+                # reference logs the mean over the last logging_freq steps
+                # (pretrain.py:122-130); one host fetch per stored chunk
+                flat = np.concatenate(
+                    [np.atleast_1d(np.asarray(x)) for x in loss_window]
+                ) if loss_window else np.empty((0,))
+                window = flat[-cfg.logging_freq :]
+                loss_window = [window]
+                loss = float(window.mean()) if window.size else float("nan")
                 if np.isnan(loss):
                     raise ValueError("Loss is NaN")
-                losses.append(loss)
                 tracker.log(
                     {
                         "epoch": epoch,
@@ -364,6 +389,7 @@ class Pretrainer:
                 )
 
         for epoch in range(epochs):
+            metrics = None  # guards empty loaders (train set < batch_size)
             if train_store is not None:
                 # scan steps_per_call steps per dispatch (full chunks only;
                 # the remainder runs through the single-step path)
@@ -385,6 +411,7 @@ class Pretrainer:
                             jnp.asarray(np.stack(chunk)),
                         )
                         metrics = {"loss": chunk_losses[-1]}
+                        loss_window.extend(chunk_losses)
                         step += len(chunk)
                         meter.tick(len(chunk))
                     else:
@@ -392,6 +419,7 @@ class Pretrainer:
                             self.state, metrics = self._train_step_idx(
                                 self.state, train_store.arrays["img"], jnp.asarray(idx)
                             )
+                            loss_window.append(metrics["loss"])
                             step += 1
                             meter.tick()
                     log_maybe(epoch, prev_step)
@@ -403,19 +431,21 @@ class Pretrainer:
                     self.state, metrics = self._train_step(
                         self.state, jnp.asarray(batch["img"])
                     )
+                    loss_window.append(metrics["loss"])
                     step += 1
                     meter.tick()
                     log_maybe(epoch, prev_step)
                     if max_steps is not None and step >= max_steps:
                         break
-            history["train_loss"].append(float(metrics["loss"]))
+            if metrics is not None:
+                history["train_loss"].append(float(metrics["loss"]))
 
             if save_checkpoints and epoch % model_save_freq == 0:
                 save_checkpoint(
                     os.path.join(run_dir, f"model_{cfg.encoder_name}_ep{epoch}.msgpack"),
                     self.state,
                     cfg,
-                    extra={"epoch": epoch},
+                    extra={"epoch": epoch, **self._scheduler_extra()},
                 )
                 if epoch == 10 and model_save_freq == 1:
                     model_save_freq = 10  # pretrain.py:150-151

@@ -254,3 +254,160 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 1
     np.testing.assert_allclose(np.asarray(restored.params["w"]), np.asarray(upd_state.params["w"]))
     np.testing.assert_array_equal(np.asarray(restored.rng), np.asarray(upd_state.rng))
+
+
+def test_cross_entropy_sums_chunked_equals_whole():
+    """Weighted-loss chunk aggregation: sum(num)/sum(wsum) over chunks must
+    equal the weighted CE over the union (the old loss*valid bookkeeping
+    broke under per-class weights)."""
+    from maskedsst_tpu.train.losses import cross_entropy, cross_entropy_sums
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((12, 5)), jnp.float32)
+    # skewed labels so chunks have different class mixes
+    targets = jnp.asarray([0, 0, 0, 0, 1, -1, 2, 2, 3, 4, 4, 4])
+    weight = jnp.asarray([0.1, 1.0, 2.0, 3.0, 0.5], jnp.float32)
+
+    whole = float(cross_entropy(logits, targets, ignore_index=-1, weight=weight))
+    num = wsum = 0.0
+    for lo in range(0, 12, 4):
+        n, w = cross_entropy_sums(
+            logits[lo : lo + 4], targets[lo : lo + 4], ignore_index=-1, weight=weight
+        )
+        num += float(n)
+        wsum += float(w)
+    np.testing.assert_allclose(num / wsum, whole, rtol=1e-6)
+
+
+def test_dataloader_propagates_dataset_errors():
+    """A dataset exception mid-epoch must surface in the consumer, not
+    silently truncate the epoch (prefetch producer thread)."""
+    from maskedsst_tpu.data.pipeline import DataLoader
+
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt tile")
+            return {"img": np.zeros((2, 4, 4), np.float32), "label": np.int64(0)}
+
+    loader = DataLoader(Exploding(), batch_size=2, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="corrupt tile"):
+        for _ in loader:
+            pass
+
+
+def test_dataloader_early_break_no_deadlock():
+    """Breaking out of an epoch early must release the producer thread."""
+    import threading
+
+    from maskedsst_tpu.data.pipeline import DataLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"img": np.zeros((2, 4, 4), np.float32), "label": np.int64(0)}
+
+    before = threading.active_count()
+    for _ in range(5):
+        for batch in DataLoader(Slow(), batch_size=2, shuffle=False, prefetch=2):
+            break  # consumer abandons the epoch immediately
+    import time
+
+    time.sleep(0.5)  # give released producers time to exit
+    assert threading.active_count() <= before + 1
+
+
+def test_pretrainer_val_with_model_sized_samples():
+    """Validation must not explode samples already at image_size into
+    windows (houston2018 pretraining patches are 8x8, not 64x64 tiles)."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+    tr = Pretrainer(cfg)
+    tiles = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 40, cfg.image_size, cfg.image_size)),
+        jnp.float32,
+    )
+    loss = tr._val_step(tr.state, tiles, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_pretrainer_fit_empty_epoch_no_crash(tmp_path):
+    """Train split smaller than batch_size (drop_last) → epoch yields zero
+    batches; fit must return instead of raising NameError."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 64  # > train split size below
+    cfg.skip_val = True
+    tr = Pretrainer(cfg)
+    ds = SyntheticCubeDataset(num_tiles=16, n_bands=40, labeled=False)
+    history = tr.fit(ds, epochs=1, save_checkpoints=False, models_dir=str(tmp_path))
+    assert history["train_loss"] == []
+
+
+def test_pretrainer_resume_restores_scheduler(tmp_path):
+    """Exact resume includes the host-side LR scheduler state."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.train.checkpoint import save_checkpoint
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 4
+    tr = Pretrainer(cfg)
+    tr.scheduler.best = 0.123
+    tr.scheduler.num_bad_epochs = 3
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, tr.state, cfg, extra={"epoch": 1, **tr._scheduler_extra()})
+
+    tr2 = Pretrainer(cfg)
+    tr2.resume(path)
+    assert tr2.scheduler.best == 0.123
+    assert tr2.scheduler.num_bad_epochs == 3
+
+
+def test_houston_stochastic_flag():
+    """Random-patch mode marks itself stochastic (device-store bypass);
+    fixed/pixelwise/test modes do not. Subset forwards the flag."""
+    from maskedsst_tpu.data.houston2018 import Houston2018Dataset
+    from maskedsst_tpu.data.pipeline import Subset
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((50, 1202, 4768 // 8)).astype(np.float32)  # small scene
+    label = rng.integers(-1, 5, size=(1202, 4768 // 8)).astype(np.int64)
+
+    random_mode = Houston2018Dataset(
+        "", "", patch_size=8, fix_train_patches=False, img=img, label=label
+    )
+    assert random_mode.stochastic
+    assert Subset(random_mode, [0, 1]).stochastic
+
+    fixed_mode = Houston2018Dataset(
+        "", "", patch_size=8, fix_train_patches=True, img=img, label=label
+    )
+    assert not fixed_mode.stochastic
+    assert not Subset(fixed_mode, [0, 1]).stochastic
