@@ -26,7 +26,12 @@ import numpy as np
 from maskedsst_tpu.data.pipeline import DataLoader
 from maskedsst_tpu.hyperx.utils import count_sliding_window, grouper, sliding_window
 from maskedsst_tpu.train.losses import cross_entropy
-from maskedsst_tpu.train.optim import build_optimizer, get_learning_rates, ReduceLROnPlateau
+from maskedsst_tpu.train.optim import (
+    build_optimizer,
+    get_learning_rates,
+    MultiStepLR,
+    ReduceLROnPlateau,
+)
 from maskedsst_tpu.utils.tracking import Tracker
 
 
@@ -56,9 +61,14 @@ class HyperXTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = tx.init(self.params)
         self.rng = jax.random.PRNGKey(hyperparams.get("seed", 0))
-        self.scheduler = ReduceLROnPlateau(
-            factor=0.1, patience=max(hyperparams.get("epoch", 100) // 4, 1)
-        )
+        sched_spec = hyperparams.get("scheduler")
+        if isinstance(sched_spec, dict) and sched_spec.get("type") == "MultiStepLR":
+            # the sharma recipe (DeepHyperX/models.py:137-143)
+            self.scheduler = MultiStepLR(sched_spec["milestones"], sched_spec.get("gamma", 0.1))
+        else:
+            self.scheduler = ReduceLROnPlateau(
+                factor=0.1, patience=max(hyperparams.get("epoch", 100) // 4, 1)
+            )
         self._train_step = jax.jit(self._step)
         self._predict = jax.jit(self._forward_eval)
 

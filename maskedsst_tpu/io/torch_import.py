@@ -95,15 +95,14 @@ def import_vit_spatial_spectral(sd: Mapping[str, Any], model) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
 
     if model.blockwise_patch_embed:
+        stacked = _stack_blockwise(
+            sd, "to_patch_embedding.blockwise_embed", model.num_spectral_patches
+        )
         params["to_patch_embedding"] = {
             "pre_norm": _layernorm(sd, "to_patch_embedding.pre_norm"),
             "post_norm": _layernorm(sd, "to_patch_embedding.post_norm"),
-            "blockwise_kernel": _stack_blockwise(
-                sd, "to_patch_embedding.blockwise_embed", model.num_spectral_patches
-            )["kernel"],
-            "blockwise_bias": _stack_blockwise(
-                sd, "to_patch_embedding.blockwise_embed", model.num_spectral_patches
-            )["bias"],
+            "blockwise_kernel": stacked["kernel"],
+            "blockwise_bias": stacked["bias"],
         }
     else:
         # reference PatchEmbed: to_patch = Sequential(Rearrange, LN) with the

@@ -25,16 +25,6 @@ from flax import linen as nn
 LN_EPS = 1e-5
 
 
-class LayerNorm(nn.Module):
-    """LayerNorm matching torch defaults (eps=1e-5, affine)."""
-
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
-
-
 class FeedForward(nn.Module):
     """MLP block: Linear → exact GELU → dropout → Linear → dropout
     (reference src/vit_spatial_spectral.py:32-44)."""
@@ -181,18 +171,23 @@ class FusedTransformer(nn.Module):
 
         inner = self.heads * self.dim_head
         kernel_init = nn.initializers.lecun_normal()
+        # reference Attention skips the output projection (and its dropout)
+        # entirely when heads == 1 and dim_head == dim
+        # (src/vit_spatial_spectral.py:56-60); mirror that so the param tree
+        # stays bit-identical to Transformer's in every configuration
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
 
         def layer_init(rng):
             ks = jax.random.split(rng, 4)
+            attn = {"to_qkv": {"kernel": kernel_init(ks[0], (self.dim, 3 * inner))}}
+            if project_out:
+                attn["to_out"] = {
+                    "kernel": kernel_init(ks[1], (inner, self.dim)),
+                    "bias": jnp.zeros((self.dim,)),
+                }
             return {
                 "attn_norm": {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))},
-                "attn": {
-                    "to_qkv": {"kernel": kernel_init(ks[0], (self.dim, 3 * inner))},
-                    "to_out": {
-                        "kernel": kernel_init(ks[1], (inner, self.dim)),
-                        "bias": jnp.zeros((self.dim,)),
-                    },
-                },
+                "attn": attn,
                 "ff_norm": {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))},
                 "ff": {
                     "fc1": {
@@ -222,12 +217,18 @@ class FusedTransformer(nn.Module):
         interpret = self.interpret or jax.default_backend() == "cpu"
         for i in range(self.depth):
             tree = self.param(f"layers_{i}", layer_init)
+            if project_out:
+                wout = tree["attn"]["to_out"]["kernel"]
+                bout = tree["attn"]["to_out"]["bias"]
+            else:  # identity projection, no params (and no proj dropout)
+                wout = jnp.eye(inner, self.dim, dtype=jnp.float32)
+                bout = jnp.zeros((self.dim,), jnp.float32)
             p = LayerParams(
                 ln1_scale=tree["attn_norm"]["scale"],
                 ln1_bias=tree["attn_norm"]["bias"],
                 wqkv=tree["attn"]["to_qkv"]["kernel"],
-                wout=tree["attn"]["to_out"]["kernel"],
-                bout=tree["attn"]["to_out"]["bias"],
+                wout=wout,
+                bout=bout,
                 ln2_scale=tree["ff_norm"]["scale"],
                 ln2_bias=tree["ff_norm"]["bias"],
                 w1=tree["ff"]["fc1"]["kernel"],
@@ -245,6 +246,7 @@ class FusedTransformer(nn.Module):
                 self.dropout,
                 train,
                 interpret,
+                project_out,
             )
         return xb.reshape(*lead, x.shape[-2], x.shape[-1])
 

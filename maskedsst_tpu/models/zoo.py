@@ -30,6 +30,19 @@ from flax import linen as nn
 
 # --- shared helpers ---------------------------------------------------------
 
+# torch-matching initializers for the reference weight_init fns. torch
+# kaiming_normal_ draws an UNTRUNCATED normal while flax's he_normal/
+# kaiming_normal alias truncates at 2 sigma, so use variance_scaling directly.
+_kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+_kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
 def _to_channels_last_3d(x: jnp.ndarray) -> jnp.ndarray:
     """[B, 1, C, H, W] (torch NCDHW, feature=1) → [B, C, H, W, 1]."""
     assert x.ndim == 5, f"expected [B, 1, C, H, W], got {x.shape}"
@@ -54,6 +67,7 @@ class Conv3d(nn.Module):
     padding: Tuple[int, int, int] = (0, 0, 0)
     dilation: Tuple[int, int, int] = (1, 1, 1)
     use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
@@ -65,6 +79,7 @@ class Conv3d(nn.Module):
             padding=pad,
             kernel_dilation=self.dilation,
             use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
         )(x)
 
 
@@ -73,11 +88,15 @@ class Conv2d(nn.Module):
     kernel: Tuple[int, int]
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
         pad = [(p, p) for p in self.padding]
-        return nn.Conv(self.features, kernel_size=self.kernel, strides=self.stride, padding=pad)(x)
+        return nn.Conv(
+            self.features, kernel_size=self.kernel, strides=self.stride, padding=pad,
+            kernel_init=self.kernel_init,
+        )(x)
 
 
 def max_pool_3d(x, window: Tuple[int, int, int], stride: Optional[Tuple[int, int, int]] = None):
@@ -111,15 +130,11 @@ class Baseline(nn.Module):
         x = x.reshape(x.shape[0], -1)
         for i, feats in enumerate((2048, 4096, 2048)):
             x = nn.relu(
-                nn.Dense(
-                    feats, kernel_init=nn.initializers.kaiming_normal(), name=f"fc{i + 1}"
-                )(x)
+                nn.Dense(feats, kernel_init=_kaiming_normal, name=f"fc{i + 1}")(x)
             )
             if self.dropout:
                 x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        return nn.Dense(
-            self.n_classes, kernel_init=nn.initializers.kaiming_normal(), name="fc4"
-        )(x)
+        return nn.Dense(self.n_classes, kernel_init=_kaiming_normal, name="fc4")(x)
 
 
 class HuEtAl(nn.Module):
@@ -139,12 +154,13 @@ class HuEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = x.reshape(x.shape[0], self.input_channels, 1)  # [B, C, 1ch]
-        x = nn.Conv(20, kernel_size=(self.kernel_size,), padding="VALID", name="conv")(x)
+        x = nn.Conv(20, kernel_size=(self.kernel_size,), padding="VALID",
+                    kernel_init=_uniform_init(0.05), name="conv")(x)
         x = nn.max_pool(x, (self.pool_size,), strides=(self.pool_size,))
         x = jnp.tanh(x)
         x = _flatten_torch_order(x)  # torch flattens [B, 20, L] plane-major
-        x = jnp.tanh(nn.Dense(100, name="fc1")(x))
-        return nn.Dense(self.n_classes, name="fc2")(x)
+        x = jnp.tanh(nn.Dense(100, kernel_init=_uniform_init(0.05), name="fc1")(x))
+        return nn.Dense(self.n_classes, kernel_init=_uniform_init(0.05), name="fc2")(x)
 
 
 class HamidaEtAl(nn.Module):
@@ -160,13 +176,15 @@ class HamidaEtAl(nn.Module):
         x = _to_channels_last_3d(x)
         d = (self.dilation, 1, 1)
         pad1 = (1, 1, 1) if self.patch_size == 3 else (0, 0, 0)
-        x = nn.relu(Conv3d(20, (3, 3, 3), (1, 1, 1), pad1, d, name="conv1")(x))
-        x = Conv3d(20, (3, 1, 1), (2, 1, 1), (1, 0, 0), d, name="pool1")(x)
-        x = nn.relu(Conv3d(35, (3, 3, 3), (1, 1, 1), (1, 0, 0), d, name="conv2")(x))
-        x = Conv3d(35, (3, 1, 1), (2, 1, 1), (1, 0, 0), d, name="pool2")(x)
-        x = nn.relu(Conv3d(35, (3, 1, 1), (1, 1, 1), (1, 0, 0), d, name="conv3")(x))
-        x = nn.relu(Conv3d(35, (2, 1, 1), (2, 1, 1), (1, 0, 0), d, name="conv4")(x))
-        return nn.Dense(self.n_classes, name="fc")(_flatten_torch_order(x))
+        x = nn.relu(Conv3d(20, (3, 3, 3), (1, 1, 1), pad1, d, kernel_init=_kaiming_normal, name="conv1")(x))
+        x = Conv3d(20, (3, 1, 1), (2, 1, 1), (1, 0, 0), d, kernel_init=_kaiming_normal, name="pool1")(x)
+        x = nn.relu(Conv3d(35, (3, 3, 3), (1, 1, 1), (1, 0, 0), d, kernel_init=_kaiming_normal, name="conv2")(x))
+        x = Conv3d(35, (3, 1, 1), (2, 1, 1), (1, 0, 0), d, kernel_init=_kaiming_normal, name="pool2")(x)
+        x = nn.relu(Conv3d(35, (3, 1, 1), (1, 1, 1), (1, 0, 0), d, kernel_init=_kaiming_normal, name="conv3")(x))
+        x = nn.relu(Conv3d(35, (2, 1, 1), (2, 1, 1), (1, 0, 0), d, kernel_init=_kaiming_normal, name="conv4")(x))
+        return nn.Dense(self.n_classes, kernel_init=_kaiming_normal, name="fc")(
+            _flatten_torch_order(x)
+        )
 
 
 class LeeEtAl(nn.Module):
@@ -180,23 +198,23 @@ class LeeEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)  # [B, C, H, W, 1]
-        x3 = Conv3d(128, (self.in_channels, 3, 3), (1, 1, 1), (0, 1, 1), name="conv_3x3")(x)
-        x1 = Conv3d(128, (self.in_channels, 1, 1), (1, 1, 1), (0, 0, 0), name="conv_1x1")(x)
+        x3 = Conv3d(128, (self.in_channels, 3, 3), (1, 1, 1), (0, 1, 1), kernel_init=_kaiming_uniform, name="conv_3x3")(x)
+        x1 = Conv3d(128, (self.in_channels, 1, 1), (1, 1, 1), (0, 0, 0), kernel_init=_kaiming_uniform, name="conv_1x1")(x)
         x = jnp.concatenate([x3, x1], axis=-1)[:, 0]  # [B, H, W, 256]
         x = nn.relu(local_response_norm(x, 256))
-        x = Conv2d(128, (1, 1), name="conv1")(x)
+        x = Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv1")(x)
         x = nn.relu(local_response_norm(x, 128))
-        res = nn.relu(Conv2d(128, (1, 1), name="conv2")(x))
-        res = Conv2d(128, (1, 1), name="conv3")(res)
+        res = nn.relu(Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv2")(x))
+        res = Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv3")(res)
         x = nn.relu(x + res)
-        res = nn.relu(Conv2d(128, (1, 1), name="conv4")(x))
-        res = Conv2d(128, (1, 1), name="conv5")(res)
+        res = nn.relu(Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv4")(x))
+        res = Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv5")(res)
         x = nn.relu(x + res)
-        x = nn.relu(Conv2d(128, (1, 1), name="conv6")(x))
+        x = nn.relu(Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv6")(x))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = nn.relu(Conv2d(128, (1, 1), name="conv7")(x))
+        x = nn.relu(Conv2d(128, (1, 1), kernel_init=_kaiming_uniform, name="conv7")(x))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = Conv2d(self.n_classes, (1, 1), name="conv8")(x)
+        x = Conv2d(self.n_classes, (1, 1), kernel_init=_kaiming_uniform, name="conv8")(x)
         return jnp.moveaxis(x, -1, 1)  # [B, n_classes, H, W]
 
 
@@ -211,15 +229,17 @@ class ChenEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)
-        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), name="conv1")(x))
+        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), kernel_init=nn.initializers.normal(0.001), name="conv1")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), name="conv2")(x))
+        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), kernel_init=nn.initializers.normal(0.001), name="conv2")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), name="conv3")(x))
+        x = nn.relu(Conv3d(self.n_planes, (32, 4, 4), kernel_init=nn.initializers.normal(0.001), name="conv3")(x))
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes, name="fc")(_flatten_torch_order(x))
+        return nn.Dense(
+            self.n_classes, kernel_init=nn.initializers.normal(0.001), name="fc"
+        )(_flatten_torch_order(x))
 
 
 class LiEtAl(nn.Module):
@@ -261,25 +281,25 @@ class HeEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)
-        x = nn.relu(Conv3d(16, (11, 3, 3), (3, 1, 1), name="conv1")(x))
+        x = nn.relu(Conv3d(16, (11, 3, 3), (3, 1, 1), kernel_init=_kaiming_uniform, name="conv1")(x))
         branches = [
-            Conv3d(16, (1, 1, 1), padding=(0, 0, 0), name="conv2_1")(x),
-            Conv3d(16, (3, 1, 1), padding=(1, 0, 0), name="conv2_2")(x),
-            Conv3d(16, (5, 1, 1), padding=(2, 0, 0), name="conv2_3")(x),
-            Conv3d(16, (11, 1, 1), padding=(5, 0, 0), name="conv2_4")(x),
+            Conv3d(16, (1, 1, 1), padding=(0, 0, 0), kernel_init=_kaiming_uniform, name="conv2_1")(x),
+            Conv3d(16, (3, 1, 1), padding=(1, 0, 0), kernel_init=_kaiming_uniform, name="conv2_2")(x),
+            Conv3d(16, (5, 1, 1), padding=(2, 0, 0), kernel_init=_kaiming_uniform, name="conv2_3")(x),
+            Conv3d(16, (11, 1, 1), padding=(5, 0, 0), kernel_init=_kaiming_uniform, name="conv2_4")(x),
         ]
         x = nn.relu(sum(branches))
         branches = [
-            Conv3d(16, (1, 1, 1), padding=(0, 0, 0), name="conv3_1")(x),
-            Conv3d(16, (3, 1, 1), padding=(1, 0, 0), name="conv3_2")(x),
-            Conv3d(16, (5, 1, 1), padding=(2, 0, 0), name="conv3_3")(x),
-            Conv3d(16, (11, 1, 1), padding=(5, 0, 0), name="conv3_4")(x),
+            Conv3d(16, (1, 1, 1), padding=(0, 0, 0), kernel_init=_kaiming_uniform, name="conv3_1")(x),
+            Conv3d(16, (3, 1, 1), padding=(1, 0, 0), kernel_init=_kaiming_uniform, name="conv3_2")(x),
+            Conv3d(16, (5, 1, 1), padding=(2, 0, 0), kernel_init=_kaiming_uniform, name="conv3_3")(x),
+            Conv3d(16, (11, 1, 1), padding=(5, 0, 0), kernel_init=_kaiming_uniform, name="conv3_4")(x),
         ]
         x = nn.relu(sum(branches))
-        x = nn.relu(Conv3d(16, (3, 2, 2), name="conv4")(x))
+        x = nn.relu(Conv3d(16, (3, 2, 2), kernel_init=_kaiming_uniform, name="conv4")(x))
         x = _flatten_torch_order(x)
         x = nn.Dropout(0.6)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes, name="fc")(x)
+        return nn.Dense(self.n_classes, kernel_init=_kaiming_uniform, name="fc")(x)
 
 
 class LuoEtAl(nn.Module):
@@ -293,15 +313,15 @@ class LuoEtAl(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = _to_channels_last_3d(x)
-        x = nn.relu(Conv3d(self.n_planes, (24, 3, 3), (9, 1, 1), name="conv1")(x))
+        x = nn.relu(Conv3d(self.n_planes, (24, 3, 3), (9, 1, 1), kernel_init=_kaiming_uniform, name="conv1")(x))
         b = x.shape[0]
         # torch: x.view(b, 1, -1, n_planes) on [b, planes, D, 1, 1] — plane-major
         x = jnp.moveaxis(x, -1, 1)  # [b, planes, D, h', w']
         x = x.reshape(b, -1, self.n_planes, 1)  # [b, rows, planes, 1ch]
-        x = nn.relu(nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="VALID", kernel_init=_kaiming_uniform, name="conv2")(x))
         x = _flatten_torch_order(x)
-        x = nn.relu(nn.Dense(1024, name="fc1")(x))
-        return nn.Dense(self.n_classes, name="fc2")(x)
+        x = nn.relu(nn.Dense(1024, kernel_init=_kaiming_uniform, name="fc1")(x))
+        return nn.Dense(self.n_classes, kernel_init=_kaiming_uniform, name="fc2")(x)
 
 
 class SharmaEtAl(nn.Module):
@@ -323,19 +343,19 @@ class SharmaEtAl(nn.Module):
             return t[..., None]  # [b, f*d, h, w, 1]
 
         x = _to_channels_last_3d(x)
-        x = Conv3d(96, (self.input_channels, 6, 6), (1, 2, 2), name="conv1")(x)
+        x = Conv3d(96, (self.input_channels, 6, 6), (1, 2, 2), kernel_init=_kaiming_normal, name="conv1")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=deterministic, name="conv1_bn")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = merge_feature_into_depth(x)
-        x = Conv3d(256, (96, 3, 3), (1, 2, 2), name="conv2")(x)
+        x = Conv3d(256, (96, 3, 3), (1, 2, 2), kernel_init=_kaiming_normal, name="conv2")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=deterministic, name="conv2_bn")(x))
         x = max_pool_3d(x, (1, 2, 2))
         x = merge_feature_into_depth(x)
-        x = nn.relu(Conv3d(512, (256, 3, 3), (1, 1, 1), name="conv3")(x))
+        x = nn.relu(Conv3d(512, (256, 3, 3), (1, 1, 1), kernel_init=_kaiming_normal, name="conv3")(x))
         x = _flatten_torch_order(x)
-        x = nn.Dense(1024, name="fc1")(x)
+        x = nn.Dense(1024, kernel_init=_kaiming_normal, name="fc1")(x)
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
-        return nn.Dense(self.n_classes, name="fc2")(x)
+        return nn.Dense(self.n_classes, kernel_init=_kaiming_normal, name="fc2")(x)
 
 
 class LiuEtAl(nn.Module):
@@ -354,7 +374,7 @@ class LiuEtAl(nn.Module):
             x = x[:, 0]
         x = jnp.moveaxis(x, 1, -1)  # [B, H, W, C]
         conv1 = nn.BatchNorm(use_running_average=deterministic, name="conv1_bn")(
-            nn.Conv(80, (3, 3), padding="VALID", name="conv1")(x)
+            nn.Conv(80, (3, 3), padding="VALID", kernel_init=_kaiming_normal, name="conv1")(x)
         )
         pool1 = nn.max_pool(conv1, (2, 2), strides=(2, 2))
         enc = nn.relu(pool1)
@@ -362,20 +382,20 @@ class LiuEtAl(nn.Module):
         f_pool1 = _flatten_torch_order(pool1)
         f_enc = _flatten_torch_order(enc)
 
-        logits = nn.Dense(self.n_classes, name="fc_enc")(f_enc)
+        logits = nn.Dense(self.n_classes, kernel_init=_kaiming_normal, name="fc_enc")(f_enc)
 
-        d = nn.relu(nn.Dense(f_enc.shape[-1], name="fc1_dec")(f_enc))
+        d = nn.relu(nn.Dense(f_enc.shape[-1], kernel_init=_kaiming_normal, name="fc1_dec")(f_enc))
         d = nn.relu(
             nn.BatchNorm(use_running_average=deterministic, name="fc2_dec_bn")(
-                nn.Dense(f_pool1.shape[-1], name="fc2_dec")(d) + f_pool1
+                nn.Dense(f_pool1.shape[-1], kernel_init=_kaiming_normal, name="fc2_dec")(d) + f_pool1
             )
         )
         d = nn.relu(
             nn.BatchNorm(use_running_average=deterministic, name="fc3_dec_bn")(
-                nn.Dense(f_conv1.shape[-1], name="fc3_dec")(d) + f_conv1
+                nn.Dense(f_conv1.shape[-1], kernel_init=_kaiming_normal, name="fc3_dec")(d) + f_conv1
             )
         )
-        rec = nn.Dense(self.input_channels, name="fc4_dec")(d)
+        rec = nn.Dense(self.input_channels, kernel_init=_kaiming_normal, name="fc4_dec")(d)
         return logits, rec
 
 
@@ -394,22 +414,22 @@ class BoulchEtAl(nn.Module):
         n = self.input_channels
         idx = 0  # torch nn.Sequential index (conv, pool, relu, bn per block)
         while n > 1:
-            if n == self.input_channels:
-                feats = 2 * self.planes
-            elif n == self.input_channels // 2:
-                feats = self.planes
-            else:
-                feats = self.planes
-            x = nn.Conv(feats, (3,), padding=[(1, 1)], name=f"encoder_{idx}")(x)
+            # (the reference tracks in/out channel pairs; only the out
+            # width matters here — flax infers input channels)
+            feats = 2 * self.planes if n == self.input_channels else self.planes
+            x = nn.Conv(
+                feats, (3,), padding=[(1, 1)], kernel_init=_kaiming_normal,
+                name=f"encoder_{idx}",
+            )(x)
             x = nn.max_pool(x, (2,), strides=(2,))
             x = nn.relu(x)
             x = nn.BatchNorm(use_running_average=deterministic, name=f"encoder_{idx + 3}")(x)
             n = n // 2
             idx += 4
-        x = jnp.tanh(nn.Conv(3, (3,), padding=[(1, 1)], name=f"encoder_{idx}")(x))
+        x = jnp.tanh(nn.Conv(3, (3,), padding=[(1, 1)], kernel_init=_kaiming_normal, name=f"encoder_{idx}")(x))
         feat = _flatten_torch_order(x)
-        logits = nn.Dense(self.n_classes, name="classifier")(feat)
-        rec = nn.Dense(self.input_channels, name="regressor")(feat)
+        logits = nn.Dense(self.n_classes, kernel_init=_kaiming_normal, name="classifier")(feat)
+        rec = nn.Dense(self.input_channels, kernel_init=_kaiming_normal, name="regressor")(feat)
         return logits, rec
 
 
@@ -570,7 +590,13 @@ def get_model(name: str, **kwargs) -> Tuple[Any, Dict, Dict, Dict]:
         }
     elif name == "sharma":
         kwargs.setdefault("batch_size", 60)
-        kwargs.setdefault("epoch", 30)
+        epoch = kwargs.setdefault("epoch", 30)
+        # reference: MultiStepLR decaying x0.1 at epoch//2 and 5*epoch//6
+        # (DeepHyperX/models.py:137-143)
+        kwargs.setdefault(
+            "scheduler",
+            {"type": "MultiStepLR", "milestones": [epoch // 2, (5 * epoch) // 6], "gamma": 0.1},
+        )
         center_pixel = True
         kwargs.setdefault("patch_size", 64)
         model = SharmaEtAl(input_channels=n_bands, n_classes=n_classes, patch_size=kwargs["patch_size"])

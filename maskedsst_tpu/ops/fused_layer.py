@@ -280,7 +280,7 @@ def _layer_fwd_kernel(
     ln1s_ref, ln1b_ref, wqkv3_ref, wout3_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
-    *, heads, dim_head, seq, compute_dtype, dropout_rate, train,
+    *, heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
 ):
     g, s, d = x_ref.shape
     drop = _DropoutCtx(seed_ref, dropout_rate, train)
@@ -311,7 +311,7 @@ def _layer_bwd_kernel(
     dx_ref,
     dln1s_ref, dln1b_ref, dwqkv3_ref, dwout3_ref, dbout_ref,
     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    *, heads, dim_head, seq, compute_dtype, dropout_rate, train,
+    *, heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
 ):
     g, s, d = x_ref.shape
     gs = g * s
@@ -326,7 +326,7 @@ def _layer_bwd_kernel(
     )
     qkvh, q, k, v, a, a_d, a_mask = cache
     p1 = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0) + bout_ref[:].astype(jnp.float32)
-    proj_mask = drop.mask(p1.shape, _SITE_PROJ)
+    proj_mask = drop.mask(p1.shape, _SITE_PROJ) if proj_dropout else None
     if proj_mask is not None:
         p1 = p1 * proj_mask
     x1 = x0 + p1
@@ -435,7 +435,7 @@ def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16):
     return g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_transformer_layer(
     x: jax.Array,
     params: LayerParams,
@@ -446,13 +446,16 @@ def fused_transformer_layer(
     dropout_rate: float = 0.0,
     train: bool = False,
     interpret: bool = False,
+    proj_dropout: bool = True,
 ) -> jax.Array:
     """x [B, S, D] → layer output [B, S, D] (dtype of x).
 
     ``seed``: int32 scalar array driving the layer's dropout PRNG (ignored
     unless ``train`` and ``dropout_rate > 0``; pass a fresh fold per layer
-    and step)."""
-    return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret)
+    and step). ``proj_dropout=False`` skips the post-projection dropout site
+    (reference Attention has no to_out — and so no dropout there — when
+    heads == 1 and dim_head == dim; callers then pass identity wout)."""
+    return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
 
 
 def _kernel_inputs(x, params, seed, heads, dim_head):
@@ -465,13 +468,14 @@ def _kernel_inputs(x, params, seed, heads, dim_head):
     return jnp.asarray(seed, jnp.int32).reshape(1), tensors
 
 
-def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret):
+def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True):
     b, s, d = x.shape
     g = _choose_block(b, s, heads, dim_head, compute_dtype)
     kernel = functools.partial(
         _layer_fwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
+        proj_dropout=proj_dropout,
     )
     seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
     return pl.pallas_call(
@@ -487,12 +491,12 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
     )(seed_arr, x, *tensors)
 
 
-def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret):
-    out = _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret)
+def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout):
+    out = _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
     return out, (x, params, seed)
 
 
-def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, residuals, grad_out):
+def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout, residuals, grad_out):
     x, params, seed = residuals
     b, s, d = x.shape
     # the same block size as the forward keeps program_id-based dropout
@@ -502,6 +506,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, re
         _layer_bwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
+        proj_dropout=proj_dropout,
     )
     seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
     grad_shapes = [

@@ -6,7 +6,8 @@ device. Here the sampler is a pure, jit-traceable function of a `jax.random`
 key, vectorized with `vmap` — mask generation fuses into the train step and
 never touches the host.
 
-Semantics reproduced exactly (same distribution and the same quirks):
+Semantics reproduced exactly (same distribution and the same quirks,
+EXCEPT the reference's cross-sample masked-index bleed — see loss_weights):
 
 * the image is divided into a ``rand_size x rand_size`` grid of
   ``mask_patch_size``-sized cells; ``mask_count = ceil(ratio * rand_size**2)``
@@ -104,10 +105,16 @@ def loss_weights(bool_mask: jnp.ndarray, num_masked: int) -> jnp.ndarray:
     """Float weights [B, N]: 1.0 on the first ``num_masked`` masked positions
     per row (row-major order), 0.0 elsewhere.
 
-    Equivalent to the reference's gather of the first ``num_masked`` nonzero
-    indices (bool_mask_to_indices, :372-382) but expressed as a cumsum so the
-    reconstruction loss is a pure elementwise reduction — no dynamic gather
-    on TPU.
+    DELIBERATE DEVIATION from the reference's ``bool_mask_to_indices``
+    (:372-382): that code slices a nonzero list FLATTENED ACROSS THE BATCH
+    at ``[num_masked*i : num_masked*(i+1)]``, but each sample marks MORE than
+    ``num_masked`` tokens (ceil arithmetic), so for every sample after the
+    first, the slice bleeds into indices drawn from EARLIER samples' masks —
+    sample i reconstructs token positions that may not even be masked for it.
+    This selects the first ``num_masked`` masked positions of EACH row
+    (what the flattened slice computes for sample 0, and what the code
+    plainly intends), expressed as a cumsum so the loss stays a pure
+    elementwise reduction — no dynamic gather on TPU.
     """
     within = jnp.cumsum(bool_mask.astype(jnp.int32), axis=-1) <= num_masked
     return (bool_mask & within).astype(jnp.float32)

@@ -227,6 +227,30 @@ class ReduceLROnPlateau:
         self.num_bad_epochs = state["num_bad_epochs"]
 
 
+class MultiStepLR:
+    """torch MultiStepLR(milestones, gamma): multiply the LR by gamma at each
+    milestone epoch (the sharma recipe, DeepHyperX/models.py:137-143).
+    ``update`` accepts (and ignores) a metric so callers can drive it through
+    the same interface as ReduceLROnPlateau."""
+
+    def __init__(self, milestones, gamma: float = 0.1):
+        self.milestones = sorted(int(m) for m in milestones)
+        self.gamma = gamma
+        self.epoch = 0
+
+    def update(self, opt_state, metric: float = None):
+        self.epoch += 1
+        if self.epoch in self.milestones:
+            opt_state = set_learning_rate(opt_state, self.gamma, scale=True)
+        return opt_state
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, state: dict):
+        self.epoch = state["epoch"]
+
+
 class CosineAnnealingLR:
     """torch CosineAnnealingLR(T_max, eta_min=0) equivalent, host-side
     (src/utils.py:50-57): lr_t = eta_min + (base - eta_min) *

@@ -172,3 +172,27 @@ def test_model_forward_parity_fused_vs_xla():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_xla), atol=5e-5, rtol=1e-3
     )
+
+
+def test_fused_matches_xla_when_no_projection():
+    """heads==1 and dim_head==dim: the reference Attention (and Transformer)
+    has NO output projection; FusedTransformer must produce the identical
+    param tree and outputs (identity wout inside the kernel, no proj
+    dropout site)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.models.layers import FusedTransformer, Transformer
+
+    kw = dict(dim=16, depth=2, heads=1, dim_head=16, mlp_dim=8, dropout=0.0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 6, 16)), jnp.float32)
+    fused = FusedTransformer(**kw, interpret=True)
+    variables = fused.init(jax.random.PRNGKey(0), x, deterministic=True)
+    # param tree carries no to_out (matches Transformer / the importer)
+    assert "to_out" not in variables["params"]["layers_0"]["attn"]
+
+    ref = Transformer(**kw)
+    want = ref.apply(variables, x, deterministic=True)
+    got = fused.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
