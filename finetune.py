@@ -103,10 +103,14 @@ def _load_pretrained(path: str, config, model):
         return None
 
     size = config.image_size - config.get("patch_sub", 0)
-    shape = (1, config.n_bands, size, size)
-    fresh = model.init(
-        jax.random.PRNGKey(SEED), jnp.zeros(shape, jnp.float32), deterministic=True
-    )["params"]
+    if config.method_name == "li":
+        # the li 3-D CNN takes torch NCDHW [B, 1, C, H, W] (utils.py:637-638)
+        shape = (1, 1, config.n_bands, size, size)
+    else:
+        shape = (1, config.n_bands, size, size)
+    fresh = jax.jit(
+        lambda k, v: model.init(k, v, deterministic=True)
+    )(jax.random.PRNGKey(SEED), jnp.zeros(shape, jnp.float32))["params"]
 
     if path.endswith(".pth"):
         from maskedsst_tpu.io.torch_import import (

@@ -122,11 +122,16 @@ def verify_sweep_params(hyperparams: Dict[str, Any]) -> Dict[str, Any]:
     (reference ``verify_sweep_params``, src/utils.py:222-273)."""
     falsy = [False, "false", "False"]
 
-    def as_bool(key: str, allow_none: bool = False) -> bool:
+    def as_bool(key: str, allow_none: bool = False, required: bool = False) -> bool:
+        if required:
+            # reference indexes these keys directly — fail fast (KeyError) on
+            # a sweep config that omits them instead of silently treating the
+            # absence as True (src/utils.py:229,254,259)
+            return hyperparams[key] not in falsy
         val = hyperparams.get(key)
-        if allow_none:
+        if allow_none:  # absent/None → False (reference :244-252)
             return val not in falsy + [None]
-        return val not in falsy
+        return val not in falsy  # absent → True (reference :234-242)
 
     checkpoint_path = hyperparams["checkpoint_path"]
     if checkpoint_path in ["none", "None"]:
@@ -134,13 +139,13 @@ def verify_sweep_params(hyperparams: Dict[str, Any]) -> Dict[str, Any]:
 
     return {
         "checkpoint_path": checkpoint_path,
-        "linear_eval": as_bool("linear_eval"),
+        "linear_eval": as_bool("linear_eval", required=True),
         "spectral_pos_embed": as_bool("spectral_pos_embed"),
         "blockwise_patch_embed": as_bool("blockwise_patch_embed"),
         "spectral_only": as_bool("spectral_only", allow_none=True),
         "pixelwise": as_bool("pixelwise", allow_none=True),
-        "shifting_window": as_bool("shifting_window"),
-        "overwrite_li_optim": as_bool("overwrite_li_optim"),
+        "shifting_window": as_bool("shifting_window", required=True),
+        "overwrite_li_optim": as_bool("overwrite_li_optim", required=True),
     }
 
 

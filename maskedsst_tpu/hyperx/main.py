@@ -77,6 +77,9 @@ def main() -> None:
     parser.add_argument("--epoch", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--patch_size", type=int, default=None)
+    # NOTE reference quirk kept: --lr feeds the models that read kwargs["lr"]
+    # (sharma/liu/boulch/mou); the others read "learning_rate" and ignore it
+    # (DeepHyperX/main.py:146 vs models.py setdefault keys)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--runs", type=int, default=1)
     parser.add_argument("--test_stride", type=int, default=1)
@@ -194,10 +197,6 @@ def main() -> None:
             prediction, test_gt, ignored_labels=ignored_labels, n_classes=n_classes
         )
         results.append(run_results)
-        mask = np.zeros(gt.shape, dtype=bool)
-        for l in ignored_labels:
-            mask[gt == l] = True
-        prediction = np.where(mask, 0, prediction)
         show_results(run_results, label_values=label_values)
 
     if args.runs > 1:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from maskedsst_tpu.data.pipeline import DataLoader
-from maskedsst_tpu.hyperx.utils import count_sliding_window, grouper, sliding_window
+from maskedsst_tpu.hyperx.utils import grouper, sliding_window
 from maskedsst_tpu.train.losses import cross_entropy
 from maskedsst_tpu.train.optim import (
     build_optimizer,
@@ -101,7 +101,14 @@ class HyperXTrainer:
                 target = img[:, 0, :, self.patch_size // 2, self.patch_size // 2]
             else:
                 target = img.reshape(img.shape[0], -1)
-            aux = jnp.mean((rec - target) ** 2)
+            # exclude the zero-padded rows of a trailing batch (label -100),
+            # which would otherwise pull the autoencoder toward the zero
+            # spectrum (the reference just runs a short final batch). NOTE:
+            # BatchNorm batch statistics still see the padded rows that step
+            # — a small, bounded deviation from short-batch semantics.
+            valid = (label != -100).astype(rec.dtype)
+            per_row = jnp.mean((rec - target) ** 2, axis=-1)
+            aux = jnp.sum(per_row * valid) / jnp.maximum(jnp.sum(valid), 1.0)
         else:
             logits = out[0] if isinstance(out, tuple) else out
             aux = 0.0
@@ -215,8 +222,10 @@ class HyperXTrainer:
                 metric = -acc
             else:
                 metric = avg_loss
-            # checkpoint on improvement (reference saves when val accuracy
-            # improves, DeepHyperX/models.py:1124-1133)
+            # DELIBERATE DEVIATION: the reference saves unconditionally every
+            # save_epoch epochs (DeepHyperX/models.py:1126-1135); saving the
+            # BEST-metric state instead is strictly more useful and is what
+            # --restore / inference consume
             if save_dir is not None and metric < best_metric:
                 best_metric = metric
                 import os

@@ -163,7 +163,9 @@ def sample_gt(gt: np.ndarray, train_size: float, mode: str = "random"):
                 X, train_size=train_size, stratify=y
             )
         except ImportError:  # stratify manually
-            rng = np.random.default_rng(0)
+            # seed from the GLOBAL numpy RNG: runs differ (reference uses
+            # unseeded train_test_split) but tests can pin np.random.seed
+            rng = np.random.default_rng(np.random.randint(2**31))
             train_idx, test_idx = [], []
             for c in np.unique(gt):
                 if c == 0:
@@ -179,7 +181,7 @@ def sample_gt(gt: np.ndarray, train_size: float, mode: str = "random"):
         test_gt[test_idx] = gt[test_idx]
     elif mode == "fixed":
         train_idx, test_idx = [], []
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(np.random.randint(2**31))
         for c in np.unique(gt):
             if c == 0:
                 continue

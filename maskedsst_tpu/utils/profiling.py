@@ -25,10 +25,19 @@ def trace(logdir: str = "/tmp/maskedsst_trace", timeout_s: float = 10.0) -> Iter
 
     info: dict = {"traced": False, "logdir": None}
     started = threading.Event()
+    abandoned = threading.Event()
 
     def _start():
         try:
             jax.profiler.start_trace(logdir)
+            if abandoned.is_set():
+                # the watchdog already gave up: stop the late-started session
+                # so it doesn't poison every later trace() in this process
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+                return
             info["traced"] = True
             info["logdir"] = logdir
         except Exception:
@@ -38,7 +47,8 @@ def trace(logdir: str = "/tmp/maskedsst_trace", timeout_s: float = 10.0) -> Iter
 
     t = threading.Thread(target=_start, daemon=True)
     t.start()
-    started.wait(timeout_s)  # hung profiler → proceed untraced
+    if not started.wait(timeout_s):  # hung profiler → proceed untraced
+        abandoned.set()
 
     t0 = time.perf_counter()
     try:

@@ -1,9 +1,11 @@
 """Experiment tracking and throughput metering.
 
 The reference logs step-keyed scalars to wandb (pretrain.py:122-130,
-finetune.py:190-202, SURVEY.md §5.5). Here wandb is optional: when
-importable and ``WANDB_MODE`` is not disabled the same projects/keys are
-used; otherwise scalars go to stdout (and a JSONL file if requested). A
+finetune.py:190-202, SURVEY.md §5.5). Here wandb is an explicit OPT-IN:
+set ``WANDB_MODE`` (e.g. ``online``/``offline-sync``-able modes) or pass
+``use_wandb=True`` to get the reference's projects/keys; with the env var
+unset, scalars go to stdout (and a JSONL file if requested) so headless/CI
+runs never create wandb state by surprise. A
 lightweight cubes/sec meter covers the BASELINE.md throughput metric —
 the reference has no profiling at all (SURVEY.md §5.1).
 """

@@ -411,3 +411,27 @@ def test_houston_stochastic_flag():
     )
     assert not fixed_mode.stochastic
     assert not Subset(fixed_mode, [0, 1]).stochastic
+
+
+def test_finetune_load_pretrained_li_inits_5d(tmp_path):
+    """_load_pretrained must init the li 3-D CNN with its NCDHW input (it
+    crashed on the 4-D shape the ViT models take)."""
+    from flax import serialization
+
+    import finetune as finetune_driver
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.train.factory import build_finetune_model
+
+    cfg = get_finetune_config("configs/finetune_config_enmap.yaml", "configs/config.yaml")
+    cfg.method_name = "li"
+    cfg.n_bands = 12
+    cfg.image_size = 5
+    cfg.patch_sub = 0
+    model, _ = build_finetune_model(cfg)
+
+    # checkpoint with an irrelevant tree: the merge skips unknown keys
+    path = tmp_path / "ck.msgpack"
+    path.write_bytes(serialization.to_bytes({"params": {"encoder": {"unused": np.zeros(3)}}}))
+    params = finetune_driver._load_pretrained(str(path), cfg, model)
+    assert params is not None
+    assert "conv1" in params
