@@ -17,7 +17,10 @@ def load_reference():
     """Returns the reference modules (vit_spatial_spectral, vit_simmim_original,
     pos_embed) or skips the calling test."""
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        # APPEND, not insert(0): the reference tree also contains finetune.py/
+        # pretrain.py etc. which would otherwise shadow this repo's drivers
+        # for any test that imports them after an oracle test ran
+        sys.path.append(REFERENCE_PATH)
     if not hasattr(np, "float"):
         np.float = float  # reference pos_embed.py uses the removed alias
     try:
@@ -39,7 +42,7 @@ def load_reference_hyperx():
     import types
 
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        sys.path.append(REFERENCE_PATH)  # see load_reference
     if "DeepHyperX.models" not in sys.modules:
         utils_stub = types.ModuleType("DeepHyperX.utils")
         for fn in ("grouper", "sliding_window", "count_sliding_window", "camel_to_snake"):
