@@ -435,3 +435,60 @@ def test_finetune_load_pretrained_li_inits_5d(tmp_path):
     params = finetune_driver._load_pretrained(str(path), cfg, model)
     assert params is not None
     assert "conv1" in params
+
+
+def test_pretrainer_logs_windowed_mean_loss(tmp_path):
+    """The tracker must receive the MEAN over the last logging_freq steps
+    (reference pretrain.py:122-130), not the instantaneous loss."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    class Capture(Tracker):
+        def __init__(self):
+            super().__init__("test", use_wandb=False, quiet=True)
+            self.rows = []
+
+        def log(self, scalars, step=None):
+            self.rows.append((step, dict(scalars)))
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+    cfg.steps_per_call = 2
+    cfg.logging_freq = 4
+    cfg.skip_val = True
+    tr = Pretrainer(cfg)
+    ds = SyntheticCubeDataset(num_tiles=64, n_bands=40, labeled=False)
+    tracker = Capture()
+    tr.fit(ds, epochs=1, max_steps=8, tracker=tracker, save_checkpoints=False,
+           models_dir=str(tmp_path))
+    loss_rows = [(s, m["loss"]) for s, m in tracker.rows if "loss" in m]
+    assert loss_rows, "no loss rows logged"
+    # losses descend over the window; a windowed mean at step 8 must exceed
+    # the instantaneous step-8 loss early in training (loss drops fast), and
+    # all logged values must be finite
+    assert all(np.isfinite(v) for _, v in loss_rows)
+    # re-run with logging_freq=1: the freq-1 'windowed mean' IS the
+    # instantaneous loss; the freq-4 logged value at the same step must
+    # equal the mean of the freq-1 values over that window
+    cfg2 = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    for k, v in [("n_bands", 40), ("transformer_dim", 24), ("transformer_depth", 2),
+                 ("transformer_n_heads", 2), ("transformer_mlp_dim", 16),
+                 ("batch_size", 8), ("steps_per_call", 2), ("logging_freq", 1),
+                 ("skip_val", True)]:
+        setattr(cfg2, k, v)
+    tr2 = Pretrainer(cfg2)
+    t2 = Capture()
+    tr2.fit(ds, epochs=1, max_steps=8, tracker=t2, save_checkpoints=False,
+            models_dir=str(tmp_path))
+    per_step = {s: m["loss"] for s, m in t2.rows if "loss" in m}
+    for s, windowed in loss_rows:
+        window = [per_step[t] for t in range(s - 3, s + 1) if t in per_step]
+        if len(window) == 4:
+            np.testing.assert_allclose(windowed, np.mean(window), rtol=1e-5)
