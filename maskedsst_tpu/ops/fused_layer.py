@@ -290,7 +290,8 @@ def _layer_fwd_kernel(
     o_heads, _ = _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype)
     proj = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0)  # [GS, D]
     proj = proj + bout_ref[:].astype(jnp.float32)
-    proj = drop.apply(proj, _SITE_PROJ)
+    if proj_dropout:
+        proj = drop.apply(proj, _SITE_PROJ)
     x = x + proj
 
     h2 = _ln(x, ln2s_ref[:], ln2b_ref[:])

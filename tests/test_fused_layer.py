@@ -117,6 +117,43 @@ def test_dropout_grad_uses_same_mask():
     np.testing.assert_allclose(float(g[0, 0, 0]), float(fd), rtol=2e-2, atol=1e-4)
 
 
+def test_no_projection_dropout_fwd_bwd_consistent():
+    """heads==1 / dim_head==dim (proj_dropout=False, identity wout): in train
+    mode with dropout>0 the gradient must match the executed forward — round 1
+    applied the _SITE_PROJ mask in the forward but skipped it in the backward
+    recompute, silently training against a different forward. Pin with a
+    finite difference through the actual loss."""
+    _needs_tpu_prng()
+    ks = jax.random.split(jax.random.PRNGKey(9), 2)
+    sc = lambda k, shape: (jax.random.normal(k, shape) * 0.1).astype(jnp.float32)
+    p = LayerParams(
+        ln1_scale=jnp.ones((D,)),
+        ln1_bias=jnp.zeros((D,)),
+        wqkv=sc(ks[0], (D, 3 * D)),
+        wout=jnp.eye(D, dtype=jnp.float32),
+        bout=jnp.zeros((D,)),
+        ln2_scale=jnp.ones((D,)),
+        ln2_bias=jnp.zeros((D,)),
+        w1=sc(ks[1], (D, F)),
+        b1=jnp.zeros((F,)),
+        w2=sc(jax.random.PRNGKey(10), (F, D)),
+        b2=jnp.zeros((D,)),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 16, D))
+
+    def loss(x):
+        out = fused_transformer_layer(
+            x, p, jnp.int32(5), 1, D, jnp.float32, 0.3, True, True, False
+        )
+        return (out**2).mean()
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    d = jnp.zeros_like(x).at[0, 0, 0].set(1.0)
+    fd = (loss(x + eps * d) - loss(x - eps * d)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0, 0]), float(fd), rtol=2e-2, atol=1e-4)
+
+
 def test_model_param_tree_interchangeable():
     kw = dict(
         image_size=4,
