@@ -56,7 +56,10 @@ def main() -> None:
     if args.checkpoint is not None:
         config.checkpoint_path = None if args.checkpoint == "none" else args.checkpoint
 
-    model, trainer_kwargs = build_finetune_model(config)
+    from maskedsst_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    model, trainer_kwargs = build_finetune_model(config, mesh=mesh)
 
     params = None
     ckpt_path = config.get("checkpoint_path")
@@ -73,7 +76,7 @@ def main() -> None:
     print(f"len(train_dataset)={len(train_ds)}")
     print(f"len(val_dataset)={len(val_ds)}")
 
-    trainer = Finetuner(config, model, params=params, **trainer_kwargs)
+    trainer = Finetuner(config, model, params=params, mesh=mesh, **trainer_kwargs)
     print(f"Model name: {config.method_name}")
     print(f"Model parameters: {trainer.num_params:,}")
 
@@ -94,54 +97,9 @@ def main() -> None:
 
 def _load_pretrained(path: str, config, model):
     """Load encoder weights from a pretrain checkpoint (.msgpack or .pth)."""
-    import os
+    from maskedsst_tpu.train.factory import load_pretrained_params
 
-    import jax
-    import jax.numpy as jnp
-
-    if not os.path.exists(path):
-        return None
-
-    size = config.image_size - config.get("patch_sub", 0)
-    if config.method_name == "li":
-        # the li 3-D CNN takes torch NCDHW [B, 1, C, H, W] (utils.py:637-638)
-        shape = (1, 1, config.n_bands, size, size)
-    else:
-        shape = (1, config.n_bands, size, size)
-    fresh = jax.jit(
-        lambda k, v: model.init(k, v, deterministic=True)
-    )(jax.random.PRNGKey(SEED), jnp.zeros(shape, jnp.float32))["params"]
-
-    if path.endswith(".pth"):
-        from maskedsst_tpu.io.torch_import import (
-            load_pretrained_encoder,
-            load_torch_checkpoint,
-        )
-
-        ckpt = load_torch_checkpoint(path)
-        return load_pretrained_encoder(
-            ckpt, model, fresh, patch_sub=config.get("patch_sub", 0)
-        )
-
-    # framework checkpoint: full SimMIM train state → encoder subtree
-    from flax import serialization
-
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    params = raw.get("params", raw)
-    enc = params.get("encoder", params)
-    merged = dict(fresh)
-    for key, val in enc.items():
-        if key == "head_linear":
-            continue  # fresh classification head (reference head surgery)
-        if key not in fresh:
-            print(f"[finetune] skipping checkpoint key {key!r} absent from model")
-            continue
-        if key == "pos_embed" and config.get("patch_sub", 0):
-            want = (config.image_size - config.patch_sub) ** 2
-            val = np.asarray(val)[:, :want, :]
-        merged[key] = val
-    return serialization.from_state_dict(fresh, merged)
+    return load_pretrained_params(path, config, model, seed=SEED)
 
 
 if __name__ == "__main__":

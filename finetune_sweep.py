@@ -66,11 +66,26 @@ def main() -> None:
         setattr(config, key, val)
     config.run_id = tracker.run_id
 
-    model, trainer_kwargs = build_finetune_model(config)
+    from maskedsst_tpu.parallel.mesh import get_mesh
+    from maskedsst_tpu.train.factory import load_pretrained_params
+
+    mesh = get_mesh()
+    model, trainer_kwargs = build_finetune_model(config, mesh=mesh)
+
+    # load the pretrained encoder like the reference sweep driver does
+    # (src/finetune_sweep.py:99-100); checkpoint_path may have been coerced
+    # to None ("none"/"None") by verify_sweep_params
+    params = None
+    ckpt_path = config.get("checkpoint_path")
+    if ckpt_path:
+        params = load_pretrained_params(ckpt_path, config, model, seed=SEED)
+        if params is None:
+            print(f"[sweep] checkpoint {ckpt_path!r} not found — training from scratch")
+
     dataset = get_dataset(config, supervised=True, synthetic=args.synthetic)
     val_ds, train_ds = split_dataset(dataset, config.train_fraction, config.data_fraction, SEED)
 
-    trainer = Finetuner(config, model, **trainer_kwargs)
+    trainer = Finetuner(config, model, params=params, mesh=mesh, **trainer_kwargs)
     history = trainer.fit(
         train_ds, val_ds, tracker=tracker, epochs=args.epochs, max_steps=args.steps
     )

@@ -140,22 +140,28 @@ class DataLoader:
         sentinel = object()
         stop = threading.Event()  # set when the consumer abandons the epoch
 
+        def put_or_stop(item) -> bool:
+            """stop-aware put: every producer enqueue (items, the error
+            sentinel, the end sentinel) must honor `stop`, or an abandoned
+            epoch with a full queue pins the thread (and the batch memory)
+            forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for idx in batches:
-                    item = self._make(idx)
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(self._make(idx)):
                         return
             except BaseException as exc:  # surface dataset errors, don't
-                q.put(("__error__", exc))  # silently truncate the epoch
+                put_or_stop(("__error__", exc))  # silently truncate the epoch
                 return
-            q.put(sentinel)
+            put_or_stop(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -1,7 +1,8 @@
 """Standalone predictor: load a checkpoint, run sliding-window inference over
-a scene, write the probability/prediction maps (reference
-DeepHyperX/inference.py:16-163, minus the GDAL GeoTIFF writing — outputs are
-.npy unless rasterio is importable).
+a scene, write probability arrays plus raw and color-palette prediction maps
+(reference DeepHyperX/inference.py:16-163): ``probs.npy``,
+``prediction.npy``, ``prediction.tif`` (uint8 label raster) and
+``color_prediction.tif`` (hls-palette RGB, inference.py:133-139,158-163).
 
   python -m maskedsst_tpu.hyperx.inference --model li --checkpoint ck.msgpack \
       --image scene.mat --mat-key indian_pines_corrected [--n-classes N]
@@ -62,7 +63,17 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "probs.npy"), probs)
     np.save(os.path.join(args.out, "prediction.npy"), prediction)
-    print(f"wrote {args.out}/probs.npy and prediction.npy, shape {prediction.shape}")
+
+    # raw + color prediction rasters (reference inference.py:133-139,158-163:
+    # palette colors 1..n from the hls wheel, 0 black)
+    from maskedsst_tpu.hyperx.viz import generate_palette, save_prediction_maps
+
+    palette = generate_palette(args.n_classes + 1)
+    maps = save_prediction_maps(args.out, "prediction", prediction, palette)
+    print(
+        f"wrote {args.out}/probs.npy, prediction.npy and "
+        f"{', '.join(os.path.basename(p) for p in maps)}, shape {prediction.shape}"
+    )
 
 
 if __name__ == "__main__":

@@ -104,6 +104,17 @@ def main() -> None:
     parser.add_argument("--synthetic-scene", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument(
+        "--out-dir", default="outputs",
+        help="directory for image outputs (dataset RGB, GT overlays, raw + "
+        "color prediction maps — the headless equivalents of the reference's "
+        "visdom displays); 'none' disables",
+    )
+    parser.add_argument(
+        "--with-exploration", action="store_true",
+        help="also write per-class spectrum plots and the mean-spectrum "
+        "figure (reference --with_exploration / DATAVIZ, main.py:285-291)",
+    )
+    parser.add_argument(
         "--checkpoint-dir",
         default="checkpoints",
         help="best-checkpoint root (reference layout checkpoints/{model}/{dataset}); "
@@ -129,6 +140,23 @@ def main() -> None:
     n_classes = len(label_values)
     n_bands = img.shape[-1]
     print(f"scene {img.shape}, {n_classes} classes, ignored {ignored_labels}")
+
+    from maskedsst_tpu.hyperx.viz import (
+        generate_palette,
+        save_exploration,
+        save_run_maps,
+        save_scene,
+    )
+
+    palette = generate_palette(n_classes, palette)
+    out_dir = None if args.out_dir in (None, "none") else os.path.join(
+        args.out_dir, "synthetic" if args.synthetic_scene else args.dataset
+    )
+    if out_dir:
+        save_scene(out_dir, img, gt, rgb_bands, palette)
+        if args.with_exploration:
+            save_exploration(out_dir, img, gt, label_values, ignored_labels)
+        print(f"wrote scene renderings to {out_dir}")
 
     results = []
     for run in range(args.runs):
@@ -196,6 +224,12 @@ def main() -> None:
         run_results = metrics(
             prediction, test_gt, ignored_labels=ignored_labels, n_classes=n_classes
         )
+        if out_dir:
+            save_run_maps(
+                out_dir, run, prediction, train_gt, test_gt, gt, palette,
+                ignored_labels,
+            )
+            print(f"wrote run {run} prediction/GT maps to {out_dir}")
         results.append(run_results)
         show_results(run_results, label_values=label_values)
 

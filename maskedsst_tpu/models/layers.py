@@ -154,6 +154,16 @@ class FusedTransformer(nn.Module):
     Dropout runs inside the kernel from the 'dropout' RNG stream. Sequences
     are the factorized model's folded axes ([B', S, D]); inputs with extra
     leading batch dims are flattened for the kernel and restored after.
+
+    ``mesh``: when given a mesh whose ``data`` axis has >1 devices, each
+    layer's kernel call is wrapped in ``jax.shard_map`` over that axis —
+    batch sharded, params replicated — so partitioning is explicit and
+    guaranteed rather than left to GSPMD, which treats the Mosaic custom
+    call as opaque and would all-gather the batch onto every chip. The
+    backward (custom VJP) runs under the same shard_map; the transpose of
+    the replicated-param broadcast inserts the gradient ``psum`` over ICI.
+    Per-device dropout streams are decorrelated by folding
+    ``lax.axis_index('data')`` into the layer seed.
     """
 
     dim: int
@@ -164,6 +174,7 @@ class FusedTransformer(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     interpret: bool = False
+    mesh: Optional[jax.sharding.Mesh] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
@@ -215,6 +226,34 @@ class FusedTransformer(nn.Module):
         # Mosaic only targets TPU; fall back to the interpreter elsewhere so
         # the fused path stays runnable (and testable) on CPU
         interpret = self.interpret or jax.default_backend() == "cpu"
+
+        n_data = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
+        if n_data > 1 and xb.shape[0] % n_data == 0:
+            from jax.sharding import PartitionSpec as P
+
+            def run_layer(xs, ps, seed):
+                # decorrelate per-device dropout streams; fwd and bwd derive
+                # the identical per-shard seed, so masks stay consistent
+                seed = seed + jax.lax.axis_index("data") * jnp.int32(-1640531527)
+                return fused_transformer_layer(
+                    xs, ps, seed, self.heads, self.dim_head, compute_dtype,
+                    self.dropout, train, interpret, project_out,
+                )
+
+            run_layer = jax.shard_map(
+                run_layer,
+                mesh=self.mesh,
+                in_specs=(P("data"), P(), P()),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        else:
+            def run_layer(xs, ps, seed):
+                return fused_transformer_layer(
+                    xs, ps, seed, self.heads, self.dim_head, compute_dtype,
+                    self.dropout, train, interpret, project_out,
+                )
+
         for i in range(self.depth):
             tree = self.param(f"layers_{i}", layer_init)
             if project_out:
@@ -236,18 +275,7 @@ class FusedTransformer(nn.Module):
                 w2=tree["ff"]["fc2"]["kernel"],
                 b2=tree["ff"]["fc2"]["bias"],
             )
-            xb = fused_transformer_layer(
-                xb,
-                p,
-                base_seed + jnp.int32(i),
-                self.heads,
-                self.dim_head,
-                compute_dtype,
-                self.dropout,
-                train,
-                interpret,
-                project_out,
-            )
+            xb = run_layer(xb, p, base_seed + jnp.int32(i))
         return xb.reshape(*lead, x.shape[-2], x.shape[-1])
 
 

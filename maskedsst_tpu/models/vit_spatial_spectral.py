@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -66,6 +67,10 @@ class ViTSpatialSpectral(nn.Module):
     # run the transformer stacks through the fused Pallas layer kernel
     # (identical param tree and math; see ops/fused_layer.py)
     fused: bool = False
+    # with fused=True on a multi-device data mesh, the kernel calls are
+    # shard_mapped over the 'data' axis (GSPMD cannot partition the Mosaic
+    # custom call; see FusedTransformer)
+    mesh: Optional[jax.sharding.Mesh] = None
 
     # ---- static geometry --------------------------------------------------
     @property
@@ -177,6 +182,8 @@ class ViTSpatialSpectral(nn.Module):
             dtype=self.dtype,
         )
         tf_cls = FusedTransformer if self.fused else Transformer
+        if self.fused:
+            tf_kwargs["mesh"] = self.mesh
         if self.spectral_only:
             self.spectral_transformer = tf_cls(**tf_kwargs)
         else:

@@ -70,7 +70,9 @@ class Predictor:
         self._fwd = jax.jit(fwd, in_shardings=(replicate(self.mesh), self._batch_shard))
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
-        """x [N, ...] → stacked outputs [N, ...]; N may be ragged."""
+        """x [N, ...] → stacked outputs [N, ...]; N may be ragged (including
+        0 — the empty result keeps the output's trailing shape/dtype so
+        concatenation/class-axis indexing downstream still works)."""
         n = x.shape[0]
         outs = []
         for start in range(0, n, self.batch_size):
@@ -82,4 +84,11 @@ class Predictor:
             dev = jax.device_put(jnp.asarray(chunk), self._batch_shard)
             out = np.asarray(self._fwd(self.variables, dev))  # host fetch = sync
             outs.append(out[:real])
-        return np.concatenate(outs) if outs else np.empty((0,))
+        if outs:
+            return np.concatenate(outs)
+        spec = jax.eval_shape(
+            self._fwd,
+            self.variables,
+            jax.ShapeDtypeStruct((self.batch_size, *x.shape[1:]), x.dtype),
+        )
+        return np.empty((0, *spec.shape[1:]), spec.dtype)

@@ -12,11 +12,26 @@ from maskedsst_tpu.models import ViTRGB, ViTSpatialSpectral
 from maskedsst_tpu.models.zoo import get_model as zoo_get_model
 
 
-def build_finetune_model(config: Config) -> Tuple[Any, Dict[str, Any]]:
+def check_fused_mesh(fused: bool, mesh) -> None:
+    """The Pallas fused path shards only over the ``data`` axis (the kernel
+    is opaque to GSPMD's Megatron-style param partitioning); reject the
+    silent-wrong combination of fused=True with a populated ``model`` axis."""
+    if fused and mesh is not None and mesh.shape.get("model", 1) > 1:
+        raise ValueError(
+            "fused=True cannot be combined with a 'model' mesh axis > 1: the "
+            "fused Pallas kernel supports data parallelism only. Use "
+            "fused=False for tensor parallelism, or a pure data mesh."
+        )
+
+
+def build_finetune_model(
+    config: Config, mesh=None
+) -> Tuple[Any, Dict[str, Any]]:
     """Returns (model, trainer_kwargs) for Finetuner.
 
     trainer_kwargs carries: center_pixel, add_channel_dim, optimizer_override
     (the li SGD recipe unless ``overwrite_li_optim``), class_weights.
+    ``mesh`` routes the fused kernels' explicit data-axis shard_map.
     """
     name = config.method_name
     size = config.image_size - config.get("patch_sub", 0)
@@ -46,6 +61,7 @@ def build_finetune_model(config: Config) -> Tuple[Any, Dict[str, Any]]:
         fused = config.get("fused")
         if fused is None:
             fused = default_fused()
+        check_fused_mesh(fused, mesh)
         model = ViTSpatialSpectral(
             image_size=size,
             spatial_patch_size=config.patch_size,
@@ -65,6 +81,7 @@ def build_finetune_model(config: Config) -> Tuple[Any, Dict[str, Any]]:
             pixelwise=config.pixelwise,
             pos_embed_len=config.get("pos_embed_len"),
             fused=fused,
+            mesh=mesh if fused else None,
         )
         return model, {"center_pixel": bool(config.pixelwise)}
 
@@ -85,3 +102,62 @@ def build_finetune_model(config: Config) -> Tuple[Any, Dict[str, Any]]:
         return model, {}
 
     raise NotImplementedError(f"method {name} not available")
+
+
+def load_pretrained_params(path: str, config: Config, model, seed: int = 5):
+    """Load encoder weights from a pretrain checkpoint (.msgpack or .pth)
+    into a fresh param tree for ``model``, applying the reference's head
+    surgery (fresh classification head, pos_embed truncation under
+    patch_sub; src/utils.py:276-313). Returns None when ``path`` does not
+    exist. Shared by finetune.py and finetune_sweep.py — the reference sweep
+    driver loads checkpoint_path the same way (src/finetune_sweep.py:99-100).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if not os.path.exists(path):
+        return None
+
+    size = config.image_size - config.get("patch_sub", 0)
+    if config.method_name == "li":
+        # the li 3-D CNN takes torch NCDHW [B, 1, C, H, W] (utils.py:637-638)
+        shape = (1, 1, config.n_bands, size, size)
+    else:
+        shape = (1, config.n_bands, size, size)
+    fresh = jax.jit(
+        lambda k, v: model.init(k, v, deterministic=True)
+    )(jax.random.PRNGKey(seed), jnp.zeros(shape, jnp.float32))["params"]
+
+    if path.endswith(".pth"):
+        from maskedsst_tpu.io.torch_import import (
+            load_pretrained_encoder,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(path)
+        return load_pretrained_encoder(
+            ckpt, model, fresh, patch_sub=config.get("patch_sub", 0)
+        )
+
+    # framework checkpoint: full SimMIM train state → encoder subtree
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = raw.get("params", raw)
+    enc = params.get("encoder", params)
+    merged = dict(fresh)
+    for key, val in enc.items():
+        if key == "head_linear":
+            continue  # fresh classification head (reference head surgery)
+        if key not in fresh:
+            print(f"[finetune] skipping checkpoint key {key!r} absent from model")
+            continue
+        if key == "pos_embed" and config.get("patch_sub", 0):
+            want = (config.image_size - config.patch_sub) ** 2
+            val = np.asarray(val)[:, :want, :]
+        merged[key] = val
+    return serialization.from_state_dict(fresh, merged)

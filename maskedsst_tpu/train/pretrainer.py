@@ -48,15 +48,19 @@ def default_fused() -> bool:
     return _jax.default_backend() not in ("cpu",)
 
 
-def build_pretrain_model(config: Config, dtype=None) -> SimMIMSpatialSpectral:
+def build_pretrain_model(config: Config, dtype=None, mesh=None) -> SimMIMSpatialSpectral:
     """Encoder + SimMIM wrapper from a merged pretrain config
-    (pretrain.py:40-67)."""
+    (pretrain.py:40-67). ``mesh`` routes the fused kernels' explicit
+    data-axis shard_map on multi-device meshes."""
     assert config.encoder_name == "ViTSpatialSpectral", (
         f"encoder {config.encoder_name} not available"
     )
     fused = config.get("fused")
     if fused is None:
         fused = default_fused()
+    from maskedsst_tpu.train.factory import check_fused_mesh
+
+    check_fused_mesh(fused, mesh)
     encoder = ViTSpatialSpectral(
         image_size=config.image_size,
         spatial_patch_size=config.patch_size,
@@ -75,6 +79,7 @@ def build_pretrain_model(config: Config, dtype=None) -> SimMIMSpatialSpectral:
         spectral_only=config.spectral_only,
         dtype=dtype,
         fused=fused,
+        mesh=mesh if fused else None,
     )
     return SimMIMSpatialSpectral(
         encoder=encoder,
@@ -98,7 +103,7 @@ class Pretrainer:
         self.config = config
         self.mesh = mesh if mesh is not None else get_mesh()
         self.tile_size = tile_size
-        self.model = build_pretrain_model(config, dtype=dtype)
+        self.model = build_pretrain_model(config, dtype=dtype, mesh=self.mesh)
 
         tx = build_optimizer(
             config.optimizer,
@@ -367,26 +372,31 @@ class Pretrainer:
 
         def log_maybe(epoch, prev_step):
             nonlocal loss_window
-            if step // cfg.logging_freq != prev_step // cfg.logging_freq:
-                # reference logs the mean over the last logging_freq steps
-                # (pretrain.py:122-130); one host fetch per stored chunk
-                flat = np.concatenate(
-                    [np.atleast_1d(np.asarray(x)) for x in loss_window]
-                ) if loss_window else np.empty((0,))
-                window = flat[-cfg.logging_freq :]
-                loss_window = [window]
+            freq = cfg.logging_freq
+            if step // freq == prev_step // freq:
+                return
+            # reference logs the mean over the last logging_freq steps every
+            # logging_freq steps (pretrain.py:122-130). A superstep chunk can
+            # cross several boundaries at once — emit one entry per boundary,
+            # each windowed at its own step, so the log stream matches the
+            # per-step paths. One host fetch per stored chunk.
+            flat = np.concatenate(
+                [np.atleast_1d(np.asarray(x)) for x in loss_window]
+            ) if loss_window else np.empty((0,))
+            lr = (get_learning_rates(self.state.opt_state) or [cfg.lr])[0]
+            for b in range((prev_step // freq + 1) * freq, step + 1, freq):
+                # flat's last element is the loss of `step`; slice the
+                # freq-long window ending at boundary step b
+                end = flat.size - (step - b)
+                window = flat[max(0, end - freq) : end]
                 loss = float(window.mean()) if window.size else float("nan")
                 if np.isnan(loss):
                     raise ValueError("Loss is NaN")
                 tracker.log(
-                    {
-                        "epoch": epoch,
-                        "loss": loss,
-                        "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
-                        **meter.stats(),
-                    },
-                    step=step,
+                    {"epoch": epoch, "loss": loss, "lr": lr, **meter.stats()},
+                    step=b,
                 )
+            loss_window = [flat[-freq:]]
 
         for epoch in range(epochs):
             metrics = None  # guards empty loaders (train set < batch_size)

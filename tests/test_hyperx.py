@@ -239,11 +239,22 @@ def test_cli_restore_and_gt_files(tmp_path, monkeypatch, capsys):
         "--train_set", str(tmp_path / "train.npy"),
         "--test_set", str(tmp_path / "test.npy"),
         "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--out-dir", str(tmp_path / "viz"),
+        "--with-exploration",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     main()
     ckpt = tmp_path / "ckpt" / "li_et_al" / "synthetic" / "best.msgpack"
     assert ckpt.exists()
+    # headless renderings (reference visdom displays, utils.py:90-175):
+    # dataset RGB, GT, spectra, and per-run GT/prediction maps
+    viz_dir = tmp_path / "viz" / "synthetic"
+    for name in (
+        "rgb.png", "gt.png", "mean_spectrums.png",
+        "run0_train_gt.png", "run0_test_gt.png",
+        "run0_prediction.tif", "color_run0_prediction.tif",
+    ):
+        assert (viz_dir / name).exists(), name
 
     monkeypatch.setattr(sys, "argv", argv + ["--restore", str(ckpt)])
     main()
@@ -288,6 +299,89 @@ def test_standalone_inference_cli(tmp_path, monkeypatch):
     assert probs.shape == img.shape[:2] + (len(label_values),)
     assert pred.shape == img.shape[:2]
     assert np.isfinite(probs).all()
+    # prediction rasters (reference inference.py:158-163): raw + color,
+    # color round-trips through the palette back to the labels
+    from PIL import Image
+
+    from maskedsst_tpu.hyperx.utils import convert_from_color_
+    from maskedsst_tpu.hyperx.viz import generate_palette
+
+    raw = np.asarray(Image.open(out / "prediction.tif"))
+    np.testing.assert_array_equal(raw, pred.astype(np.uint8))
+    color = np.asarray(Image.open(out / "color_prediction.tif"))
+    palette = generate_palette(len(label_values) + 1)
+    np.testing.assert_array_equal(
+        convert_from_color_(color, palette={v: k for k, v in palette.items()}),
+        pred.astype(np.uint8),
+    )
+
+
+def test_hls_palette_matches_seaborn():
+    """generate_palette must reproduce the reference's seaborn hls palette
+    (DeepHyperX/inference.py:133-135, main.py:254-258) exactly."""
+    seaborn = pytest.importorskip("seaborn")
+
+    from maskedsst_tpu.hyperx.viz import generate_palette, hls_palette
+
+    for n in (3, 6, 16):
+        ours = hls_palette(n)
+        want = seaborn.color_palette("hls", n)
+        np.testing.assert_allclose(ours, want, atol=1e-12)
+        pal = generate_palette(n + 1)
+        assert pal[0] == (0, 0, 0)
+        for k, color in enumerate(want):
+            assert pal[k + 1] == tuple(
+                np.asarray(255 * np.array(color), dtype="uint8")
+            )
+
+
+def test_prediction_maps_roundtrip(tmp_path):
+    """Raw + color prediction .tif maps must exist and the color map must
+    round-trip through convert_from_color_ back to the label raster."""
+    from PIL import Image
+
+    from maskedsst_tpu.hyperx.utils import convert_from_color_
+    from maskedsst_tpu.hyperx.viz import generate_palette, save_prediction_maps
+
+    rng = np.random.default_rng(0)
+    pred = rng.integers(0, 7, size=(31, 17)).astype(np.int64)
+    palette = generate_palette(7)
+    paths = save_prediction_maps(str(tmp_path), "prediction", pred, palette)
+    raw = np.asarray(Image.open(tmp_path / "prediction.tif"))
+    np.testing.assert_array_equal(raw, pred.astype(np.uint8))
+    color = np.asarray(Image.open(tmp_path / "color_prediction.tif"))
+    assert color.shape == (*pred.shape, 3)
+    inverted = convert_from_color_(color, palette={v: k for k, v in palette.items()})
+    np.testing.assert_array_equal(inverted, pred.astype(np.uint8))
+    assert all(p.endswith(".tif") for p in paths)
+
+
+def test_scene_and_exploration_outputs(tmp_path):
+    """save_scene + save_exploration write the headless equivalents of the
+    reference's visdom displays (utils.py:90-175)."""
+    from maskedsst_tpu.hyperx.main import synthetic_scene
+    from maskedsst_tpu.hyperx.viz import (
+        generate_palette,
+        save_exploration,
+        save_scene,
+    )
+
+    img, gt, labels, ignored, rgb_bands, _ = synthetic_scene(
+        n_bands=12, size=16, n_classes=3
+    )
+    palette = generate_palette(len(labels))
+    save_scene(str(tmp_path), img, gt, rgb_bands, palette)
+    assert (tmp_path / "rgb.png").exists()
+    assert (tmp_path / "gt.png").exists()
+    spectra = save_exploration(str(tmp_path), img, gt, labels, ignored)
+    assert (tmp_path / "mean_spectrums.png").exists()
+    assert spectra  # at least one non-ignored class
+    for name, mean in spectra.items():
+        assert mean.shape == (12,)
+        present = [labels.index(name)]
+        np.testing.assert_allclose(
+            mean, img[np.isin(gt, present)].reshape(-1, 12).mean(axis=0), rtol=1e-5
+        )
 
 
 def test_save_restore_roundtrip_includes_batch_stats(tmp_path):

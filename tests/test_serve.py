@@ -59,4 +59,11 @@ def test_predictor_empty_input():
     )
     pred = Predictor(model, variables, batch_size=8)
     out = pred(np.zeros((0, 40, 8, 8), np.float32))
-    assert out.shape[0] == 0
+    # the empty result must keep the output's trailing dims + dtype so
+    # downstream concatenation / class-axis indexing works
+    ref = pred(np.zeros((2, 40, 8, 8), np.float32))
+    assert out.shape == (0, *ref.shape[1:])
+    assert out.dtype == ref.dtype
+    np.testing.assert_array_equal(
+        np.concatenate([out, ref]), ref
+    )

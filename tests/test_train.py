@@ -437,6 +437,145 @@ def test_finetune_load_pretrained_li_inits_5d(tmp_path):
     assert "conv1" in params
 
 
+def test_pretrainer_logs_every_boundary_in_superstep(tmp_path):
+    """A superstep chunk of k steps crossing multiple logging_freq
+    boundaries must emit one entry PER boundary (windowed at its own step),
+    matching the per-step paths — not a single entry at chunk end."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    class Capture(Tracker):
+        def __init__(self):
+            super().__init__("test", use_wandb=False, quiet=True)
+            self.rows = []
+
+        def log(self, scalars, step=None):
+            self.rows.append((step, dict(scalars)))
+
+    def run(steps_per_call, logging_freq):
+        cfg = get_pretrain_config(
+            "configs/pretrain_config.yaml", "configs/config.yaml"
+        )
+        for k, v in [
+            ("n_bands", 40), ("transformer_dim", 24), ("transformer_depth", 2),
+            ("transformer_n_heads", 2), ("transformer_mlp_dim", 16),
+            ("batch_size", 8), ("steps_per_call", steps_per_call),
+            ("logging_freq", logging_freq), ("skip_val", True),
+            ("train_fraction", 0.8),  # 80 tiles → exactly 64 train = 8 batches
+        ]:
+            setattr(cfg, k, v)
+        tracker = Capture()
+        Pretrainer(cfg).fit(
+            SyntheticCubeDataset(num_tiles=80, n_bands=40, labeled=False),
+            epochs=1, max_steps=8, tracker=tracker,
+            save_checkpoints=False, models_dir=str(tmp_path),
+        )
+        return {s: m["loss"] for s, m in tracker.rows if "loss" in m}
+
+    # k=8 chunk crosses four freq-2 boundaries: entries at steps 2,4,6,8
+    chunked = run(steps_per_call=8, logging_freq=2)
+    assert sorted(chunked) == [2, 4, 6, 8], sorted(chunked)
+    # per-step path produces the same entries with the same windowed means
+    per_step = run(steps_per_call=1, logging_freq=2)
+    assert sorted(per_step) == [2, 4, 6, 8]
+    for s in chunked:
+        np.testing.assert_allclose(chunked[s], per_step[s], rtol=1e-5)
+
+
+def test_sweep_driver_loads_checkpoint(tmp_path, monkeypatch):
+    """finetune_sweep must load checkpoint_path into the encoder before
+    training (reference src/finetune_sweep.py:99-100) — round 1 built the
+    Finetuner with fresh params unconditionally, so linear-eval sweeps
+    silently ran from scratch. Sweep with linear_eval=true over a synthetic
+    pretrain checkpoint and assert the trainer's encoder params are the
+    imported values, not fresh inits."""
+    import sys
+
+    import jax
+    from flax import serialization
+
+    import finetune_sweep as sweep
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    tiny = [
+        "--set", "n_bands=40", "--set", "transformer_dim=24",
+        "--set", "transformer_depth=2", "--set", "transformer_n_heads=2",
+        "--set", "transformer_mlp_dim=16", "--set", "batch_size=4",
+        "--set", "spectral_pos=[0, 1, 2, 3]",
+        "--set", "linear_eval=true",
+    ]
+    cfg = get_finetune_config("configs/finetune_config_enmap.yaml", "configs/config.yaml")
+    cfg.n_bands, cfg.transformer_dim = 40, 24
+    cfg.transformer_depth, cfg.transformer_n_heads = 2, 2
+    cfg.transformer_mlp_dim = 16
+    cfg.spectral_pos = [0, 1, 2, 3]
+    model, _ = build_finetune_model(cfg)
+    size = cfg.image_size - cfg.get("patch_sub", 0)
+    fresh = model.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 40, size, size), jnp.float32),
+        deterministic=True,
+    )["params"]
+    marked = jax.tree.map(lambda a: jnp.full_like(a, 0.123), fresh)
+    path = tmp_path / "pretrain.msgpack"
+    path.write_bytes(
+        serialization.to_bytes({"params": {"encoder": serialization.to_state_dict(marked)}})
+    )
+
+    captured = {}
+    orig_init = Finetuner.__init__
+
+    def spy_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        captured["trainer"] = self
+
+    monkeypatch.setattr(Finetuner, "__init__", spy_init)
+    monkeypatch.setattr(Finetuner, "fit", lambda self, *a, **kw: {"best_val_acc": 0.0})
+    monkeypatch.setattr(
+        sys, "argv",
+        ["finetune_sweep.py", "enmap", "--synthetic",
+         "--set", f"checkpoint_path={path}"] + tiny,
+    )
+    sweep.main()
+
+    params = jax.device_get(captured["trainer"].state.params)
+    # encoder weights imported (marked), classification head fresh
+    np.testing.assert_allclose(np.asarray(params["pos_embed"]), 0.123)
+    kernel = params["to_patch_embedding"]["blockwise_kernel"]
+    np.testing.assert_allclose(np.asarray(kernel), 0.123)
+    assert np.abs(np.asarray(params["head_linear"]["kernel"]) - 0.123).max() > 1e-3
+
+
+def test_sweep_driver_coerces_none_checkpoint(tmp_path, monkeypatch):
+    """checkpoint_path='none' (the sweep-grid spelling) must coerce to None
+    and train from scratch without attempting a load."""
+    import sys
+
+    import finetune_sweep as sweep
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    calls = []
+    monkeypatch.setattr(
+        "maskedsst_tpu.train.factory.load_pretrained_params",
+        lambda *a, **kw: calls.append(a) or None,
+    )
+    monkeypatch.setattr(Finetuner, "fit", lambda self, *a, **kw: {"best_val_acc": 0.0})
+    monkeypatch.setattr(
+        sys, "argv",
+        ["finetune_sweep.py", "enmap", "--synthetic",
+         "--set", "checkpoint_path=none",
+         "--set", "n_bands=40", "--set", "transformer_dim=24",
+         "--set", "transformer_depth=2", "--set", "transformer_n_heads=2",
+         "--set", "transformer_mlp_dim=16", "--set", "batch_size=4",
+         "--set", "spectral_pos=[0, 1, 2, 3]"],
+    )
+    sweep.main()
+    assert calls == []
+
+
 def test_pretrainer_logs_windowed_mean_loss(tmp_path):
     """The tracker must receive the MEAN over the last logging_freq steps
     (reference pretrain.py:122-130), not the instantaneous loss."""
