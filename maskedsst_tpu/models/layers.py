@@ -323,6 +323,23 @@ class BlockwisePatchEmbedding(nn.Module):
         x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # b g h w p0 p1 p2
         return x.reshape(b, g, h * w, p0 * p1 * p2)
 
+    def to_patch_pn(self, x):
+        """[B, C, H, W] → patches [B, g, p, n] — same contents as
+        :meth:`to_patch` with the (n, p) axes swapped. For 1x1 spatial
+        patches (the reference recipe) this is a PURE RESHAPE: no transpose,
+        and no [.., n, p] array whose 10-wide trailing dim would tile onto
+        128 TPU lanes at ~8% utilization (measured ~0.3 ms/step of
+        data-formatting copies at the reference recipe)."""
+        b, c, hh, ww = x.shape
+        g, p0 = self.num_blocks, self.patch_depth
+        p1, p2 = self.patch_height, self.patch_width
+        if p1 == 1 and p2 == 1:
+            return x.reshape(b, g, p0, hh * ww)
+        h, w = hh // p1, ww // p2
+        x = x.reshape(b, g, p0, h, p1, w, p2)
+        x = x.transpose(0, 1, 2, 4, 6, 3, 5)  # b g p0 p1 p2 h w
+        return x.reshape(b, g, p0 * p1 * p2, h * w)
+
     @nn.compact
     def embed(self, patches):
         """patches [B, g, n, p] → tokens [B, g*n, dim].
@@ -355,7 +372,40 @@ class BlockwisePatchEmbedding(nn.Module):
         tokens = tokens.reshape(b, g * n, self.dim)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="post_norm")(tokens)
 
+    @nn.compact
+    def embed_pn(self, patches_pn):
+        """patches [B, g, p, n] (see :meth:`to_patch_pn`) → tokens
+        [B, g*n, dim]. Identical math and parameter tree as :meth:`embed`
+        (the pre-norm LayerNorm normalizes the p axis, here axis -2), with
+        the einsum contracting p straight out of the sublane dimension — the
+        [.., n, p] lane-hostile intermediate never exists."""
+        patches_pn = nn.LayerNorm(
+            epsilon=LN_EPS, dtype=self.dtype, name="pre_norm",
+            reduction_axes=-2, feature_axes=-2,
+        )(patches_pn)
+        kernel = self.param(
+            "blockwise_kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_blocks, self.patch_dim, self.dim),
+        )
+        bias = self.param(
+            "blockwise_bias", nn.initializers.zeros, (self.num_blocks, self.dim)
+        )
+        dtype = self.dtype or patches_pn.dtype
+        b, g, _, n = patches_pn.shape
+        tokens = jnp.einsum(
+            "bgpn,gpd->bgnd",
+            patches_pn.astype(dtype),
+            kernel.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        tokens = tokens + bias.astype(dtype)[None, :, None, :]
+        tokens = tokens.reshape(b, g * n, self.dim)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="post_norm")(tokens)
+
     def __call__(self, x):
+        if self.patch_height == 1 and self.patch_width == 1:
+            return self.embed_pn(self.to_patch_pn(x))
         return self.embed(self.to_patch(x))
 
 

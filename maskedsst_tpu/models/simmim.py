@@ -52,13 +52,16 @@ class BlockwiseToPixels(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """tokens [B, g, n, d] → pixel predictions [B, g, n, p]; block g uses
-        decoder g. One batched einsum over the block axis — the earlier
-        block-diagonal dense form forced [.., g, n, d] ↔ [.., n, g*d]
-        relayouts (not views under TPU lane tiling) that cost more than the
-        batched matmul's per-instance overhead (see
-        BlockwisePatchEmbedding.embed)."""
+    def __call__(self, tokens: jnp.ndarray, pn: bool = False) -> jnp.ndarray:
+        """tokens [B, g, n, d] → pixel predictions [B, g, n, p] (or
+        [B, g, p, n] when ``pn``); block g uses decoder g. One batched einsum
+        over the block axis — the earlier block-diagonal dense form forced
+        [.., g, n, d] ↔ [.., n, g*d] relayouts (not views under TPU lane
+        tiling) that cost more than the batched matmul's per-instance
+        overhead (see BlockwisePatchEmbedding.embed). The ``pn`` output
+        layout keeps n (64) on the lane dim instead of p (10), matching
+        to_patch_pn targets so the loss never touches a lane-hostile
+        [.., n, p] array."""
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -68,6 +71,14 @@ class BlockwiseToPixels(nn.Module):
             "bias", nn.initializers.zeros, (self.num_spectral_blocks, self.pixels_per_patch)
         )
         dtype = self.dtype or tokens.dtype
+        if pn:
+            out = jnp.einsum(
+                "bgnd,gdp->bgpn",
+                tokens.astype(dtype),
+                kernel.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            return out + bias.astype(dtype)[None, :, :, None]
         out = jnp.einsum(
             "bgnd,gdp->bgnp",
             tokens.astype(dtype),
@@ -154,8 +165,10 @@ class SimMIMSpatialSpectral(nn.Module):
             # (reference vit_simmim_original.py:232-234)
             pos = enc.pos_embedding[:, 1 : num_tokens + 1].astype(tokens.dtype)
         elif enc.blockwise_patch_embed:
-            patches = enc.to_patch_embedding.to_patch(img)  # [B, g, n, p] raw
-            tokens = enc.to_patch_embedding.embed(patches)  # [B, g*n, d]
+            # [B, g, p, n] raw patches: n (spatial) stays on the lane dim
+            # end-to-end (embed, decode, loss) — see to_patch_pn
+            patches = enc.to_patch_embedding.to_patch_pn(img)
+            tokens = enc.to_patch_embedding.embed_pn(patches)  # [B, g*n, d]
             pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
         else:
             flat = enc.to_patch_embedding.to_patch(img)  # [B, g*n, p] (LN'ed)
@@ -187,13 +200,22 @@ class SimMIMSpatialSpectral(nn.Module):
         encoded = encoded.reshape(b, n_blocks, n_spatial, enc.dim)
 
         # --- decode ALL tokens, weight the loss to the masked subset --------
+        # blockwise patches arrive in [B, g, p, n] (lane-friendly) layout
+        pn_layout = not self._is_v1 and bool(
+            getattr(enc, "blockwise_patch_embed", False)
+        )
         if self.to_pixels_per_spectral_block:
-            preds = self.to_pixels(encoded)  # [B, g, n, p]
+            preds = self.to_pixels(encoded, pn=pn_layout)  # [B,g,p,n] | [B,g,n,p]
         else:
-            preds = self.to_pixels_linear(encoded)
+            preds = self.to_pixels_linear(encoded)  # [B, g, n, p]
+            if pn_layout:
+                preds = jnp.swapaxes(preds, -1, -2)
 
         weights = loss_weights(bool_mask, num_masked)  # [B, g*n]
-        weights = weights.reshape(b, n_blocks, n_spatial)[..., None]
+        if pn_layout:
+            weights = weights.reshape(b, n_blocks, 1, n_spatial)
+        else:
+            weights = weights.reshape(b, n_blocks, n_spatial)[..., None]
 
         abs_err = jnp.abs(preds.astype(jnp.float32) - patches.astype(jnp.float32))
         # reference: F.l1_loss(pred, target).mean over (B, num_masked, p)

@@ -459,8 +459,10 @@ def fused_transformer_layer(
     return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
 
 
-def _kernel_inputs(x, params, seed, heads, dim_head):
-    wqkv3, wout3 = _to_headmajor(params, heads, dim_head)
+def _kernel_inputs(x, params, seed, heads, dim_head, headmajor=None):
+    wqkv3, wout3 = headmajor if headmajor is not None else _to_headmajor(
+        params, heads, dim_head
+    )
     tensors = (
         params.ln1_scale, params.ln1_bias, wqkv3, wout3, params.bout,
         params.ln2_scale, params.ln2_bias, params.w1, params.b1,
@@ -469,7 +471,7 @@ def _kernel_inputs(x, params, seed, heads, dim_head):
     return jnp.asarray(seed, jnp.int32).reshape(1), tensors
 
 
-def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True):
+def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True, headmajor=None):
     b, s, d = x.shape
     g = _choose_block(b, s, heads, dim_head, compute_dtype)
     kernel = functools.partial(
@@ -478,7 +480,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
         proj_dropout=proj_dropout,
     )
-    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
+    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head, headmajor)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
@@ -493,12 +495,20 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
 
 
 def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout):
-    out = _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
-    return out, (x, params, seed)
+    # head-major weight layouts are pure transforms of the params; computing
+    # them once here and carrying them as residuals saves the backward pass
+    # redoing the reshape/transpose/concat prep (measured ~0.1-0.2 ms/step
+    # of XLA glue at the reference recipe)
+    headmajor = _to_headmajor(params, heads, dim_head)
+    out = _fwd_impl(
+        x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train,
+        interpret, proj_dropout, headmajor,
+    )
+    return out, (x, params, seed, headmajor)
 
 
 def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout, residuals, grad_out):
-    x, params, seed = residuals
+    x, params, seed, headmajor = residuals
     b, s, d = x.shape
     # the same block size as the forward keeps program_id-based dropout
     # seeding consistent between the passes
@@ -509,7 +519,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
         proj_dropout=proj_dropout,
     )
-    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head)
+    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head, headmajor)
     grad_shapes = [
         jax.ShapeDtypeStruct(params.ln1_scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln1_bias.shape, jnp.float32),

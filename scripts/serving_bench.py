@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("--batches", default="256,512,1024")
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--json-out", default="SERVING_BENCH.json",
+        help="write the per-batch results + best figure as one JSON file "
+        "(BENCH-style record tracked per round); 'none' disables",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,6 +56,7 @@ def main() -> None:
     )
     rng = np.random.default_rng(0)
 
+    results = []
     for bs in (int(b) for b in args.batches.split(",")):
         x = jnp.asarray(rng.standard_normal((bs, config.n_bands, 8, 8)), jnp.bfloat16)
         variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
@@ -77,16 +83,28 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         dt = statistics.median(times)
         cps = args.chain * bs / dt
-        print(
-            json.dumps(
-                {
-                    "metric": "inference_cubes_per_sec_per_chip",
-                    "batch": bs,
-                    "value": round(cps, 1),
-                    "unit": "cubes/s/chip",
-                }
-            )
-        )
+        row = {
+            "metric": "inference_cubes_per_sec_per_chip",
+            "batch": bs,
+            "value": round(cps, 1),
+            "unit": "cubes/s/chip",
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    if args.json_out and args.json_out != "none" and results:
+        best = max(results, key=lambda r: r["value"])
+        record = {
+            "metric": "inference_cubes_per_sec_per_chip",
+            "value": best["value"],
+            "unit": "cubes/s/chip",
+            "batch": best["batch"],
+            "per_batch": results,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.json_out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

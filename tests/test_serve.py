@@ -67,3 +67,25 @@ def test_predictor_empty_input():
     np.testing.assert_array_equal(
         np.concatenate([out, ref]), ref
     )
+
+
+def test_predictor_fused_serving_geometry():
+    """Predictor with the FUSED model (interpret mode on CPU) at serving
+    batch geometry (batch_size 256, ragged input) must match the unfused
+    model's outputs — pins the deployed fused path end-to-end
+    (scripts/serving_bench.py runs fused=True at batch 256-1024)."""
+    kw = dict(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10, num_classes=6,
+        dim=24, depth=2, heads=2, dim_head=8, mlp_dim=16, channels=40,
+        spectral_pos=[0, 1, 2, 3],
+    )
+    m_xla = ViTSpatialSpectral(**kw, fused=False)
+    m_fused = ViTSpatialSpectral(**kw, fused=True)
+    x = np.random.default_rng(0).standard_normal((300, 40, 8, 8)).astype(np.float32)
+    variables = jax.jit(lambda k, v: m_xla.init(k, v, deterministic=True))(
+        jax.random.PRNGKey(0), jnp.asarray(x[:1])
+    )
+    want = Predictor(m_xla, variables, batch_size=256)(x)
+    got = Predictor(m_fused, variables, batch_size=256)(x)
+    assert got.shape == (300, 6, 8, 8)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
