@@ -228,6 +228,17 @@ class FusedTransformer(nn.Module):
         interpret = self.interpret or jax.default_backend() == "cpu"
 
         n_data = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
+        if n_data > 1 and xb.shape[0] % n_data != 0:
+            import warnings
+
+            warnings.warn(
+                f"FusedTransformer: flattened batch {xb.shape[0]} is not "
+                f"divisible by the data axis ({n_data}); falling back to "
+                "GSPMD for the Pallas custom call, which may all-gather the "
+                "batch onto every chip. Pad the batch to a multiple of the "
+                "data-axis size for guaranteed sharding.",
+                stacklevel=2,
+            )
         if n_data > 1 and xb.shape[0] % n_data == 0:
             from jax.sharding import PartitionSpec as P
 

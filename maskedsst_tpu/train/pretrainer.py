@@ -383,6 +383,9 @@ class Pretrainer:
             flat = np.concatenate(
                 [np.atleast_1d(np.asarray(x)) for x in loss_window]
             ) if loss_window else np.empty((0,))
+            # lr is constant within a chunk (schedulers step between epochs,
+            # reference pretrain.py:194-197), so one read serves every
+            # boundary entry; meter stats are windowed rates, same deal
             lr = (get_learning_rates(self.state.opt_state) or [cfg.lr])[0]
             for b in range((prev_step // freq + 1) * freq, step + 1, freq):
                 # flat's last element is the loss of `step`; slice the
@@ -421,7 +424,11 @@ class Pretrainer:
                             jnp.asarray(np.stack(chunk)),
                         )
                         metrics = {"loss": chunk_losses[-1]}
-                        loss_window.extend(chunk_losses)
+                        # append the WHOLE loss vector: one host fetch per
+                        # stored chunk in log_maybe (extend would split it
+                        # into per-step device scalars = one ~27 ms tunnel
+                        # round trip each)
+                        loss_window.append(chunk_losses)
                         step += len(chunk)
                         meter.tick(len(chunk))
                     else:

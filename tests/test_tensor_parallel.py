@@ -201,6 +201,49 @@ def test_fused_dp_train_step_matches_single_device():
         np.testing.assert_allclose(pa, pb, rtol=3e-5, atol=1e-6)
 
 
+def test_fused_finetune_step_matches_single_device():
+    """The FUSED finetune train step (classification head, split LRs) with
+    the batch sharded over 8 devices must match the identical step on a
+    1-device mesh — the finetuning analog of the fused-DP pretrain test."""
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    cfg.n_bands, cfg.transformer_dim = 40, 24
+    cfg.transformer_depth, cfg.transformer_n_heads = 2, 2
+    cfg.transformer_mlp_dim = 16
+    cfg.spectral_pos = [0, 1, 2, 3]
+    cfg.transformer_dropout = 0.0  # in-kernel PRNG has no CPU lowering
+    cfg.transformer_emb_dropout = 0.0
+    cfg.batch_size = 8
+    cfg.fused = True
+
+    size = cfg.image_size - cfg.get("patch_sub", 0)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((8, 40, 64, 64)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, cfg.n_classes, (8, 32, 32)), jnp.int32)
+
+    results = {}
+    for tag, mesh in (
+        ("dp8", get_mesh()),
+        ("single", get_mesh(devices=jax.devices()[:1])),
+    ):
+        model, kw = build_finetune_model(cfg, mesh=mesh)
+        tr = Finetuner(cfg, model, mesh=mesh, **kw)
+        state, metrics = tr._train_step(tr.state, img, label)
+        results[tag] = (jax.device_get(state.params), jax.device_get(metrics))
+
+    m8, m1 = results["dp8"][1], results["single"][1]
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    for pa, pb in zip(
+        jax.tree.leaves(results["dp8"][0]), jax.tree.leaves(results["single"][0])
+    ):
+        np.testing.assert_allclose(pa, pb, rtol=3e-5, atol=1e-6)
+
+
 def test_dp_train_step_matches_single_device():
     """The data-parallel train step (batch sharded over 8 devices, psum
     gradient all-reduce) must produce the same updated parameters as the
