@@ -414,6 +414,71 @@ class BlockwisePatchEmbedding(nn.Module):
         tokens = tokens.reshape(b, g * n, self.dim)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="post_norm")(tokens)
 
+    @nn.compact
+    def embed_mask_fused(
+        self, patches_pn, pos, mask_token, mask, mesh=None, interpret: bool = False
+    ):
+        """Fused SimMIM tokenization head (ops/fused_embed.py): pre-LN →
+        blockwise embed → post-LN → +pos → mask-token replacement, one
+        Pallas kernel per batch block, custom-VJP backward. Declares the
+        identical parameter tree as :meth:`embed`/:meth:`embed_pn` (exactly
+        one of the methods runs per trace): ``pre_norm``/``post_norm`` as
+        dict-valued params with the LayerNorm leaf names.
+
+        patches_pn [B, g, p, n]; pos [g, n, d]; mask [B, g, n] 0/1 float.
+        Returns tokens [B, g, n, d]. On a multi-device ``data`` mesh the
+        call is shard_mapped over the batch (GSPMD treats Mosaic custom
+        calls as opaque)."""
+        import jax as _jax
+
+        from maskedsst_tpu.ops.fused_embed import fused_embed_mask
+
+        pd = self.patch_dim
+        pre = self.param(
+            "pre_norm",
+            lambda rng: {"scale": jnp.ones((pd,)), "bias": jnp.zeros((pd,))},
+        )
+        kernel = self.param(
+            "blockwise_kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_blocks, pd, self.dim),
+        )
+        bias = self.param(
+            "blockwise_bias", nn.initializers.zeros, (self.num_blocks, self.dim)
+        )
+        post = self.param(
+            "post_norm",
+            lambda rng: {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))},
+        )
+        compute_dtype = self.dtype or jnp.float32
+        interpret = interpret or _jax.default_backend() == "cpu"
+
+        n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+        if n_data > 1 and patches_pn.shape[0] % n_data == 0:
+            from jax.sharding import PartitionSpec as P
+
+            def run(pp, mm, prs, prb, k, bs, pls, plb, po, mt):
+                return fused_embed_mask(
+                    pp, mm, prs, prb, k, bs, pls, plb, po, mt,
+                    compute_dtype, interpret,
+                )
+
+            return _jax.shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(P("data"), P("data")) + (P(),) * 8,
+                out_specs=P("data"),
+                check_vma=False,
+            )(
+                patches_pn, mask, pre["scale"], pre["bias"], kernel, bias,
+                post["scale"], post["bias"], pos, mask_token,
+            )
+        return fused_embed_mask(
+            patches_pn, mask, pre["scale"], pre["bias"], kernel, bias,
+            post["scale"], post["bias"], pos, mask_token,
+            compute_dtype, interpret,
+        )
+
     def __call__(self, x):
         if self.patch_height == 1 and self.patch_width == 1:
             return self.embed_pn(self.to_patch_pn(x))

@@ -87,6 +87,49 @@ class BlockwiseToPixels(nn.Module):
         )
         return out + bias.astype(dtype)[None, :, None, :]
 
+    @nn.compact
+    def decode_l1(self, encoded, patches_pn, weights, mesh=None, interpret: bool = False):
+        """Fused decode + weighted-L1 tail (ops/fused_simmim.py): returns
+        the UNNORMALIZED sum(weights · |decode(encoded) − patches|).
+        Declares the identical parameter tree as ``__call__`` (exactly one
+        of the two runs per trace). On a multi-device ``data`` mesh the
+        kernel call is shard_mapped over the batch like the layer kernels
+        (GSPMD treats Mosaic custom calls as opaque), with an explicit psum
+        of the per-shard partial sums."""
+        import jax as _jax
+
+        from maskedsst_tpu.ops.fused_simmim import fused_decode_l1
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_spectral_blocks, self.dim, self.pixels_per_patch),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_spectral_blocks, self.pixels_per_patch)
+        )
+        compute_dtype = self.dtype or jnp.float32
+        interpret = interpret or _jax.default_backend() == "cpu"
+
+        n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+        if n_data > 1 and encoded.shape[0] % n_data == 0:
+            from jax.sharding import PartitionSpec as P
+
+            def run(e, pp, ww, k, bs):
+                partial = fused_decode_l1(e, pp, k, bs, ww, compute_dtype, interpret)
+                return _jax.lax.psum(partial, "data")
+
+            return _jax.shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data"), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )(encoded, patches_pn, weights, kernel, bias)
+        return fused_decode_l1(
+            encoded, patches_pn, kernel, bias, weights, compute_dtype, interpret
+        )
+
 
 class SimMIMSpatialSpectral(nn.Module):
     """Args mirror the reference constructor
@@ -156,28 +199,7 @@ class SimMIMSpatialSpectral(nn.Module):
         n_blocks = enc.num_spectral_patches
         num_tokens = n_blocks * n_spatial
 
-        # --- tokenize (raw patches are the reconstruction targets) ---------
-        if self._is_v1:
-            flat = enc.to_patch(img)  # [B, g*n, p] raw (V1 LN sits in embed)
-            tokens = enc.embed(flat)
-            patches = flat.reshape(b, n_blocks, n_spatial, -1)
-            # V1 wrapper slices the learned table at [1:n+1]
-            # (reference vit_simmim_original.py:232-234)
-            pos = enc.pos_embedding[:, 1 : num_tokens + 1].astype(tokens.dtype)
-        elif enc.blockwise_patch_embed:
-            # [B, g, p, n] raw patches: n (spatial) stays on the lane dim
-            # end-to-end (embed, decode, loss) — see to_patch_pn
-            patches = enc.to_patch_embedding.to_patch_pn(img)
-            tokens = enc.to_patch_embedding.embed_pn(patches)  # [B, g*n, d]
-            pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
-        else:
-            flat = enc.to_patch_embedding.to_patch(img)  # [B, g*n, p] (LN'ed)
-            tokens = enc.to_patch_embedding.embed(flat)
-            patches = flat.reshape(b, n_blocks, n_spatial, -1)
-            pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
-        tokens = tokens + pos
-
-        # --- draw the mask on device ---------------------------------------
+        # --- draw the mask on device (independent of the tokens) -----------
         num_masked = int(self.masking_ratio * num_tokens)
         if bool_mask is None:
             if mask_rng is None:
@@ -189,9 +211,47 @@ class SimMIMSpatialSpectral(nn.Module):
                     mask_rng, b, n_blocks, self.tube_masking
                 )
 
-        # --- replace masked tokens with mask_token (+pos) ------------------
-        mask_tokens = self.mask_token.astype(tokens.dtype)[None, None, :] + pos
-        tokens = jnp.where(bool_mask[..., None], mask_tokens, tokens)
+        # blockwise (non-V1) patches use the [B, g, p, n] lane-friendly
+        # layout end-to-end — see to_patch_pn
+        pn_layout = not self._is_v1 and bool(
+            getattr(enc, "blockwise_patch_embed", False)
+        )
+        fused_head = pn_layout and getattr(enc, "fused", False)
+
+        # --- tokenize → embed → +pos → mask-token replacement ---------------
+        if fused_head:
+            # production path: the whole tokenization head runs as one
+            # Pallas kernel per batch block (ops/fused_embed.py)
+            patches = enc.to_patch_embedding.to_patch_pn(img)
+            pos = enc.pos_embedding_for(num_tokens)
+            tokens = enc.to_patch_embedding.embed_mask_fused(
+                patches,
+                pos.reshape(n_blocks, n_spatial, enc.dim),
+                self.mask_token,
+                bool_mask.reshape(b, n_blocks, n_spatial).astype(jnp.float32),
+                mesh=getattr(enc, "mesh", None),
+            ).reshape(b, num_tokens, enc.dim)
+        else:
+            if self._is_v1:
+                flat = enc.to_patch(img)  # [B, g*n, p] raw (V1 LN in embed)
+                tokens = enc.embed(flat)
+                patches = flat.reshape(b, n_blocks, n_spatial, -1)
+                # V1 wrapper slices the learned table at [1:n+1]
+                # (reference vit_simmim_original.py:232-234)
+                pos = enc.pos_embedding[:, 1 : num_tokens + 1].astype(tokens.dtype)
+            elif pn_layout:
+                patches = enc.to_patch_embedding.to_patch_pn(img)
+                tokens = enc.to_patch_embedding.embed_pn(patches)  # [B, g*n, d]
+                pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
+            else:
+                flat = enc.to_patch_embedding.to_patch(img)  # [B,g*n,p] LN'ed
+                tokens = enc.to_patch_embedding.embed(flat)
+                patches = flat.reshape(b, n_blocks, n_spatial, -1)
+                pos = enc.pos_embedding_for(num_tokens).astype(tokens.dtype)
+            tokens = tokens + pos
+            # replace masked tokens with mask_token (+pos)
+            mask_tokens = self.mask_token.astype(tokens.dtype)[None, None, :] + pos
+            tokens = jnp.where(bool_mask[..., None], mask_tokens, tokens)
 
         # --- encode ---------------------------------------------------------
         encoded = enc.transformer_forward(tokens, deterministic=deterministic)
@@ -200,10 +260,18 @@ class SimMIMSpatialSpectral(nn.Module):
         encoded = encoded.reshape(b, n_blocks, n_spatial, enc.dim)
 
         # --- decode ALL tokens, weight the loss to the masked subset --------
-        # blockwise patches arrive in [B, g, p, n] (lane-friendly) layout
-        pn_layout = not self._is_v1 and bool(
-            getattr(enc, "blockwise_patch_embed", False)
-        )
+        if self.to_pixels_per_spectral_block and fused_head:
+            # production path: one Pallas kernel for decode + weighted L1
+            # (interpret mode off-TPU), fwd and custom-VJP bwd
+            wsum = self.to_pixels.decode_l1(
+                encoded, patches, loss_weights(bool_mask, num_masked),
+                mesh=getattr(enc, "mesh", None),
+            )
+            denom = b * num_masked * self.pixel_values_per_patch
+            recon_loss = wsum / denom / num_masked
+            if self.intermediate_losses:
+                recon_loss = recon_loss * 3.0  # see note below
+            return recon_loss
         if self.to_pixels_per_spectral_block:
             preds = self.to_pixels(encoded, pn=pn_layout)  # [B,g,p,n] | [B,g,n,p]
         else:

@@ -233,3 +233,57 @@ def test_fused_matches_xla_when_no_projection():
     want = ref.apply(variables, x, deterministic=True)
     got = fused.apply(variables, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_decode_l1_matches_xla():
+    """The fused SimMIM decode+weighted-L1 epilogue kernel (interpret on
+    CPU) must reproduce the XLA loss AND its gradients exactly (fp32):
+    fused=True routes the loss tail through ops/fused_simmim.py."""
+    from maskedsst_tpu.models import SimMIMSpatialSpectral, ViTSpatialSpectral
+    from maskedsst_tpu.ops.masking import MaskGenerator
+
+    kw = dict(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10,
+        num_classes=3, dim=D, depth=2, heads=H, dim_head=DH, mlp_dim=F,
+        channels=40, spectral_pos=[0, 1, 2, 3],
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 40, 8, 8)), jnp.float32
+    )
+    bool_mask = MaskGenerator(8, 4, 1, 0.7).batch_masks(
+        jax.random.PRNGKey(3), 4, 4, True
+    )
+
+    losses, grads = {}, {}
+    params = None
+    for fused in (False, True):
+        enc = ViTSpatialSpectral(**kw, fused=fused)
+        mim = SimMIMSpatialSpectral(
+            encoder=enc, masking_ratio=0.7, mask_patch_size=4,
+            tube_masking=True, to_pixels_per_spectral_block=True,
+        )
+        if params is None:
+            params = mim.init(
+                {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+                x, deterministic=True,
+            )["params"]
+
+        def loss_fn(p, mim=mim):
+            return mim.apply(
+                {"params": p}, x, deterministic=True, bool_mask=bool_mask
+            )
+
+        losses[fused], grads[fused] = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(losses[True]), float(losses[False]), rtol=1e-6)
+    import jax.tree_util as jtu
+
+    for (ka, ga), (kb, gb) in zip(
+        jtu.tree_flatten_with_path(grads[True])[0],
+        jtu.tree_flatten_with_path(grads[False])[0],
+    ):
+        assert jtu.keystr(ka) == jtu.keystr(kb)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-5, rtol=1e-4,
+            err_msg=jtu.keystr(ka),
+        )
