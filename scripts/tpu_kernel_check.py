@@ -116,7 +116,88 @@ def main():
 
         t_fb = median_chain_ms(train_step, x, n=30)
         print(f"  fwd {t_fwd:.3f} ms/layer   fwd+bwd {t_fb:.3f} ms/layer")
+
+    check_simmim_kernels(rng)
     print("ok")
+
+
+def check_simmim_kernels(rng):
+    """Mosaic lowering + fwd/grad parity of the SimMIM prologue/epilogue
+    kernels (ops/fused_embed.py, ops/fused_simmim.py) vs fp32-precision XLA
+    oracles at the reference geometry. CPU interpret covers the math
+    exactly; this is the only check of the actual TPU lowering."""
+    import jax
+
+    from maskedsst_tpu.ops.fused_embed import fused_embed_mask
+    from maskedsst_tpu.ops.fused_simmim import fused_decode_l1
+
+    with jax.default_matmul_precision("float32"):
+        B, g, p, n, d = 16, 20, 10, 64, 96
+        pat = jnp.asarray(rng.standard_normal((B, g, p, n)), jnp.float32)
+        m = jnp.asarray(rng.integers(0, 2, (B, g, n)), jnp.float32)
+        prs = jnp.asarray(1 + 0.1 * rng.standard_normal(p), jnp.float32)
+        prb = jnp.asarray(0.1 * rng.standard_normal(p), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((g, p, d)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((g, d)) * 0.1, jnp.float32)
+        pls = jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32)
+        plb = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+        pos = jnp.asarray(rng.standard_normal((g, n, d)) * 0.02, jnp.float32)
+        mtok = jnp.asarray(rng.standard_normal((d,)) * 0.02, jnp.float32)
+        args = (pat, m, prs, prb, k, bias, pls, plb, pos, mtok)
+
+        def emb_fused(*a):
+            return (fused_embed_mask(*a, jnp.float32, False) ** 2).sum()
+
+        def emb_xla(pat, m, prs, prb, k, bias, pls, plb, pos, mtok):
+            xf = pat.astype(jnp.float32)
+            mu = xf.mean(axis=2, keepdims=True)
+            z = (xf - mu) * jax.lax.rsqrt(
+                ((xf - mu) ** 2).mean(axis=2, keepdims=True) + 1e-5
+            )
+            xln = z * prs[None, None, :, None] + prb[None, None, :, None]
+            t = jnp.einsum("bgpn,gpd->bgnd", xln, k) + bias[None, :, None, :]
+            mu2 = t.mean(axis=-1, keepdims=True)
+            z2 = (t - mu2) * jax.lax.rsqrt(
+                ((t - mu2) ** 2).mean(axis=-1, keepdims=True) + 1e-5
+            )
+            tok = z2 * pls + plb + pos[None]
+            masked = mtok[None, None, None, :] + pos[None]
+            return (jnp.where(m[..., None] > 0.5, masked, tok) ** 2).sum()
+
+        def grad_relerr(gf, gx):
+            # per-leaf max-abs error normalized by that leaf's max magnitude
+            return max(
+                float(jnp.max(jnp.abs(a - b)))
+                / max(float(jnp.max(jnp.abs(b))), 1e-9)
+                for a, b in zip(gf, gx)
+            )
+
+        diff_idx = (2, 3, 4, 5, 6, 7, 8, 9)
+        vf, gf = jax.jit(jax.value_and_grad(emb_fused, argnums=diff_idx))(*args)
+        vx, gx = jax.jit(jax.value_and_grad(emb_xla, argnums=diff_idx))(*args)
+        rel = abs(float(vf) - float(vx)) / abs(float(vx))
+        gerr = grad_relerr(gf, gx)
+        print(f"fused_embed_mask: fwd relerr {rel:.2e}  grad relerr {gerr:.2e}")
+        assert rel < 1e-5 and gerr < 1e-3
+
+        enc = jnp.asarray(rng.standard_normal((B, g, n, d)), jnp.float32)
+        kd = jnp.asarray(rng.standard_normal((g, d, p)) * 0.05, jnp.float32)
+        bd = jnp.asarray(rng.standard_normal((g, p)) * 0.1, jnp.float32)
+        w = jnp.asarray(rng.integers(0, 2, (B, g * n)), jnp.float32)
+
+        def dec_fused(enc, kd, bd):
+            return fused_decode_l1(enc, pat, kd, bd, w, jnp.float32, False)
+
+        def dec_xla(enc, kd, bd):
+            preds = jnp.einsum("bgnd,gdp->bgpn", enc, kd) + bd[None, :, :, None]
+            return jnp.sum(jnp.abs(preds - pat) * w.reshape(B, g, 1, n))
+
+        vf, gf = jax.jit(jax.value_and_grad(dec_fused, argnums=(0, 1, 2)))(enc, kd, bd)
+        vx, gx = jax.jit(jax.value_and_grad(dec_xla, argnums=(0, 1, 2)))(enc, kd, bd)
+        rel = abs(float(vf) - float(vx)) / abs(float(vx))
+        gerr = grad_relerr(gf, gx)
+        print(f"fused_decode_l1: fwd relerr {rel:.2e}  grad relerr {gerr:.2e}")
+        assert rel < 1e-5 and gerr < 1e-3
 
 
 if __name__ == "__main__":
