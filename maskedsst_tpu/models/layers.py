@@ -227,19 +227,10 @@ class FusedTransformer(nn.Module):
         # the fused path stays runnable (and testable) on CPU
         interpret = self.interpret or jax.default_backend() == "cpu"
 
-        n_data = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
-        if n_data > 1 and xb.shape[0] % n_data != 0:
-            import warnings
+        from maskedsst_tpu.parallel.mesh import data_axis_or_warn
 
-            warnings.warn(
-                f"FusedTransformer: flattened batch {xb.shape[0]} is not "
-                f"divisible by the data axis ({n_data}); falling back to "
-                "GSPMD for the Pallas custom call, which may all-gather the "
-                "batch onto every chip. Pad the batch to a multiple of the "
-                "data-axis size for guaranteed sharding.",
-                stacklevel=2,
-            )
-        if n_data > 1 and xb.shape[0] % n_data == 0:
+        n_data = data_axis_or_warn(self.mesh, xb.shape[0], "FusedTransformer")
+        if n_data > 1:
             from jax.sharding import PartitionSpec as P
 
             def run_layer(xs, ps, seed):
@@ -450,11 +441,17 @@ class BlockwisePatchEmbedding(nn.Module):
             "post_norm",
             lambda rng: {"scale": jnp.ones((self.dim,)), "bias": jnp.zeros((self.dim,))},
         )
-        compute_dtype = self.dtype or jnp.float32
+        # match embed_pn's default (self.dtype or input dtype) so the fused
+        # and XLA paths stay numerically interchangeable when dtype is None
+        compute_dtype = self.dtype or patches_pn.dtype
         interpret = interpret or _jax.default_backend() == "cpu"
 
-        n_data = 1 if mesh is None else mesh.shape.get("data", 1)
-        if n_data > 1 and patches_pn.shape[0] % n_data == 0:
+        from maskedsst_tpu.parallel.mesh import data_axis_or_warn
+
+        n_data = data_axis_or_warn(
+            mesh, patches_pn.shape[0], "BlockwisePatchEmbedding.embed_mask_fused"
+        )
+        if n_data > 1:
             from jax.sharding import PartitionSpec as P
 
             def run(pp, mm, prs, prb, k, bs, pls, plb, po, mt):

@@ -108,11 +108,17 @@ class BlockwiseToPixels(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_spectral_blocks, self.pixels_per_patch)
         )
-        compute_dtype = self.dtype or jnp.float32
+        # match __call__'s default (self.dtype or input dtype) so the fused
+        # and XLA decode paths stay numerically interchangeable
+        compute_dtype = self.dtype or encoded.dtype
         interpret = interpret or _jax.default_backend() == "cpu"
 
-        n_data = 1 if mesh is None else mesh.shape.get("data", 1)
-        if n_data > 1 and encoded.shape[0] % n_data == 0:
+        from maskedsst_tpu.parallel.mesh import data_axis_or_warn
+
+        n_data = data_axis_or_warn(
+            mesh, encoded.shape[0], "BlockwiseToPixels.decode_l1"
+        )
+        if n_data > 1:
             from jax.sharding import PartitionSpec as P
 
             def run(e, pp, ww, k, bs):

@@ -38,20 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maskedsst_tpu.ops.fused_layer import _VMEM_LIMIT_BYTES, LN_EPS
-
-
-def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
-
-
-def _bdot(a, b, dims, compute_dtype):
-    return jax.lax.dot_general(
-        a.astype(compute_dtype),
-        b.astype(compute_dtype),
-        (dims, ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+from maskedsst_tpu.ops.fused_layer import LN_EPS, _bdot, _compiler_params
 
 
 def _fwd_body(pat, m, spn, bpn, kern, bias_gnd, postln_s, postln_b,

@@ -51,6 +51,18 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
+
+def _bdot(a, b, dims, compute_dtype):
+    """Single-batch-dim dot_general with fp32 accumulation (shared by the
+    SimMIM prologue/epilogue kernels); ``dims`` is
+    ((lhs_contract,), (rhs_contract,))."""
+    return jax.lax.dot_general(
+        a.astype(compute_dtype),
+        b.astype(compute_dtype),
+        (dims, ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
 # dropout site ids (distinct constants mixed into the PRNG seed)
 _SITE_ATTN = 1
 _SITE_PROJ = 3

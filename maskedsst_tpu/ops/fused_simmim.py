@@ -30,22 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maskedsst_tpu.ops.fused_layer import _VMEM_LIMIT_BYTES
-
-
-def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
-
-
-def _bdot(a, b, dims, compute_dtype):
-    """Single-batch-dim dot_general with fp32 accumulation; ``dims`` is
-    ((lhs_contract,), (rhs_contract,))."""
-    return jax.lax.dot_general(
-        a.astype(compute_dtype),
-        b.astype(compute_dtype),
-        (dims, ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+from maskedsst_tpu.ops.fused_layer import _bdot, _compiler_params
 
 
 def _decode(enc, kern, bias, compute_dtype):

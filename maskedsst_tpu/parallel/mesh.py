@@ -42,6 +42,28 @@ def get_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def data_axis_or_warn(mesh, batch: int, what: str) -> int:
+    """Size of the ``data`` mesh axis when ``batch`` divides it, else 1.
+
+    Pallas/Mosaic custom calls are opaque to GSPMD, so the fused kernels
+    shard_map over the data axis; when the batch is not divisible the
+    callers fall back to GSPMD, which may all-gather the batch onto every
+    chip — warn so the perf cliff is diagnosable."""
+    n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+    if n_data > 1 and batch % n_data != 0:
+        import warnings
+
+        warnings.warn(
+            f"{what}: batch {batch} is not divisible by the data axis "
+            f"({n_data}); falling back to GSPMD for the Pallas custom call, "
+            "which may all-gather the batch onto every chip. Pad the batch "
+            "to a multiple of the data-axis size for guaranteed sharding.",
+            stacklevel=3,
+        )
+        return 1
+    return n_data
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 (batch) over the ``data`` mesh axis."""
     return NamedSharding(mesh, P("data"))

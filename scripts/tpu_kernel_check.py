@@ -180,17 +180,22 @@ def check_simmim_kernels(rng):
         print(f"fused_embed_mask: fwd relerr {rel:.2e}  grad relerr {gerr:.2e}")
         assert rel < 1e-5 and gerr < 1e-3
 
-        enc = jnp.asarray(rng.standard_normal((B, g, n, d)), jnp.float32)
+        # B=32 > the 16-row block cap → grid of 2, so the cross-grid-step
+        # accumulation branches (out_ref[:] += partial, dkern/dbias acc)
+        # exercise on real hardware, not just in interpret mode
+        B2 = 32
+        enc = jnp.asarray(rng.standard_normal((B2, g, n, d)), jnp.float32)
+        pat2 = jnp.asarray(rng.standard_normal((B2, g, p, n)), jnp.float32)
         kd = jnp.asarray(rng.standard_normal((g, d, p)) * 0.05, jnp.float32)
         bd = jnp.asarray(rng.standard_normal((g, p)) * 0.1, jnp.float32)
-        w = jnp.asarray(rng.integers(0, 2, (B, g * n)), jnp.float32)
+        w = jnp.asarray(rng.integers(0, 2, (B2, g * n)), jnp.float32)
 
         def dec_fused(enc, kd, bd):
-            return fused_decode_l1(enc, pat, kd, bd, w, jnp.float32, False)
+            return fused_decode_l1(enc, pat2, kd, bd, w, jnp.float32, False)
 
         def dec_xla(enc, kd, bd):
             preds = jnp.einsum("bgnd,gdp->bgpn", enc, kd) + bd[None, :, :, None]
-            return jnp.sum(jnp.abs(preds - pat) * w.reshape(B, g, 1, n))
+            return jnp.sum(jnp.abs(preds - pat2) * w.reshape(B2, g, 1, n))
 
         vf, gf = jax.jit(jax.value_and_grad(dec_fused, argnums=(0, 1, 2)))(enc, kd, bd)
         vx, gx = jax.jit(jax.value_and_grad(dec_xla, argnums=(0, 1, 2)))(enc, kd, bd)
