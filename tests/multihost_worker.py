@@ -1,0 +1,81 @@
+"""Subprocess worker for the simulated multi-host test (test_multihost.py).
+
+Joins a ``jax.distributed`` cluster of ``num_processes`` host processes, each
+backed by ``devices_per_proc`` virtual CPU devices (Gloo CPU collectives), via
+the production entry point ``maskedsst_tpu.parallel.initialize_multihost``
+(SURVEY.md §5.8). Feeds this process's LOCAL shard of the global tile batch
+through ``shard_host_batch`` and runs one real SimMIM pre-training step
+(fwd+bwd+AdamW) on the global data-parallel mesh, then prints the replicated
+loss for the parent test to compare across cluster topologies.
+
+Run: python tests/multihost_worker.py <process_id> <num_processes> <port>
+(with num_processes=1 this is the single-host control run on the same
+4-device mesh and global batch).
+"""
+
+import os
+import sys
+
+DEVICES_PER_PROC = {1: 4, 2: 2, 4: 1}
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    n_local = DEVICES_PER_PROC[nproc]
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_local}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.parallel.mesh import initialize_multihost, shard_host_batch
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    mesh = initialize_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, (jax.process_count(), nproc)
+    assert mesh.devices.size == 4, mesh.devices.shape
+
+    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    # tiny shapes, same reductions as __graft_entry__.dryrun_multichip
+    config.n_bands = 40
+    config.transformer_dim = 24
+    config.transformer_depth = 2
+    config.transformer_n_heads = 2
+    config.transformer_mlp_dim = 16
+    config.batch_size = 8
+
+    trainer = Pretrainer(config, mesh=mesh)
+    # every process builds the same GLOBAL batch deterministically, then
+    # contributes only its local rows — the multi-host input contract
+    tiles = (
+        np.random.default_rng(0)
+        .standard_normal((config.batch_size, config.n_bands, 64, 64))
+        .astype(np.float32)
+    )
+    rows_here = config.batch_size // nproc
+    local = tiles[pid * rows_here : (pid + 1) * rows_here]
+    batch = shard_host_batch(mesh, jnp.asarray(local))
+    assert batch.shape[0] == config.batch_size, batch.shape
+
+    state, metrics = trainer._train_step(trainer.state, batch)
+    loss = float(metrics["loss"])
+    # param update must be identical (replicated) everywhere — spot-check a leaf
+    leaf = np.asarray(
+        jax.tree.leaves(state.params)[0], dtype=np.float64
+    )
+    print(f"RESULT pid={pid} loss={loss:.10f} leafsum={float(leaf.sum()):.10f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

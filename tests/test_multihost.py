@@ -1,0 +1,83 @@
+"""Simulated multi-host data parallelism: real processes, real collectives.
+
+The reference is strictly single-device (SURVEY.md §2.3); the TPU rebuild's
+multi-host story is ``initialize_multihost`` + ``shard_host_batch``
+(maskedsst_tpu/parallel/mesh.py, SURVEY.md §5.8). The multichip dryrun and the
+8-virtual-device suite exercise multi-DEVICE sharding inside one process; this
+test goes one level further and validates the multi-PROCESS path end to end:
+two OS processes, each owning 2 virtual CPU devices, join a
+``jax.distributed`` cluster over Gloo CPU collectives, stitch their local
+batch shards into one global array, and run the real SimMIM train step on the
+global 4-device mesh. The replicated loss and updated params must agree
+across ranks and match a single-process control run on the identical global
+batch and mesh size — i.e. multi-host is numerically invisible, exactly the
+property a v5e pod slice relies on.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+_RESULT = re.compile(r"RESULT pid=(\d+) loss=([-\d.]+) leafsum=([-\d.]+)")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env() -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _launch(pid: int, nproc: int, port: int) -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(nproc), str(port)],
+        cwd=REPO,
+        env=_clean_env(),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+
+
+def _results(procs) -> dict:
+    out = {}
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out (Gloo rendezvous hang?)")
+        logs.append(stdout)
+        if p.returncode != 0:
+            pytest.fail(f"worker rc={p.returncode}\n{stdout[-3000:]}")
+        m = _RESULT.search(stdout)
+        assert m, f"no RESULT line in worker output:\n{stdout[-3000:]}"
+        out[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    return out
+
+
+def test_two_process_cluster_matches_single_process():
+    port = _free_port()
+    procs = [_launch(0, 2, port), _launch(1, 2, port)]
+    multi = _results(procs)
+    single = _results([_launch(0, 1, port)])
+
+    # both ranks see the same replicated loss and identical updated params
+    assert multi[0] == pytest.approx(multi[1], rel=0, abs=0.0)
+    # and the 2-process cluster reproduces the single-process 4-device step
+    np.testing.assert_allclose(multi[0][0], single[0][0], rtol=1e-6)
+    np.testing.assert_allclose(multi[0][1], single[0][1], rtol=1e-6)
