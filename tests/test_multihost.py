@@ -74,7 +74,7 @@ def test_two_process_cluster_matches_single_process():
     port = _free_port()
     procs = [_launch(0, 2, port), _launch(1, 2, port)]
     multi = _results(procs)
-    single = _results([_launch(0, 1, port)])
+    single = _results([_launch(0, 1, _free_port())])
 
     # both ranks see the same replicated loss and identical updated params
     assert multi[0] == pytest.approx(multi[1], rel=0, abs=0.0)
