@@ -431,15 +431,23 @@ def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16):
+def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16,
+                  eval_fwd=False):
     """Rows per grid step (device-time optima on v5e via scripts/
     kernel_tune.py): ~16 rows at seq 64, ~32 at seq 20. Larger blocks beyond
     these measure flat-to-worse (fwd+bwd): more rows amortize per-step
     overhead but the backward's recompute working set starts thrashing VMEM
     (the raised ``_VMEM_LIMIT_BYTES`` makes these sizes compile at all; the
     Mosaic default 16 MB caps the backward at ~8 rows). fp32 compute doubles
-    every matmul operand, so it gets half the rows."""
-    target = 16 if seq >= 32 else 32
+    every matmul operand, so it gets half the rows.
+
+    ``eval_fwd``: a forward with dropout inactive. The 16-row seq>=32 choice
+    is a *backward-pass* optimum that the forward inherits only to keep the
+    program_id-based dropout seeding aligned between the passes; with no
+    dropout there is nothing to align, and the serving-geometry sweep
+    (``kernel_tune.py --batch 512 --modes fwd --dropout 0``) measures 32
+    rows fastest at seq 64 too (7.489 vs 7.626 ms/layer)."""
+    target = 32 if eval_fwd else (16 if seq >= 32 else 32)
     if jnp.dtype(compute_dtype).itemsize >= 4:
         target //= 2
     g = min(target, batch)
@@ -485,7 +493,8 @@ def _kernel_inputs(x, params, seed, heads, dim_head, headmajor=None):
 
 def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True, headmajor=None):
     b, s, d = x.shape
-    g = _choose_block(b, s, heads, dim_head, compute_dtype)
+    g = _choose_block(b, s, heads, dim_head, compute_dtype,
+                      eval_fwd=not (train and dropout_rate > 0.0))
     kernel = functools.partial(
         _layer_fwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,

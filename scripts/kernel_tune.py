@@ -65,6 +65,12 @@ def main() -> None:
     ap.add_argument("--gs", default="")
     ap.add_argument("--folds", default="", help="comma list of fold overrides (spectral-style short-seq folding)")
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument(
+        "--batch", type=int, default=64,
+        help="cube batch size the row counts scale from (64 = training "
+        "shapes; 512 = the serving-bench geometry, fwd-only path)")
+    ap.add_argument("--modes", default="fwd,fwdbwd",
+                    help="comma list from {fwd,fwdbwd}")
     args = ap.parse_args()
 
     import jax
@@ -89,8 +95,8 @@ def main() -> None:
         )
 
     SHAPES = {
-        "spatial": (64 * 20, 64),   # [b*c, hw] tokens
-        "spectral": (64 * 64, 20),  # [b*hw, c] tokens
+        "spatial": (args.batch * 20, 64),   # [b*c, hw] tokens
+        "spectral": (args.batch * 64, 20),  # [b*hw, c] tokens
     }
 
     params = mk_params()
@@ -113,7 +119,7 @@ def main() -> None:
             if fold is not None:
                 fl._choose_fold = (lambda f: lambda seq, gg: f if (gg % f == 0 and f * seq <= 128) else 1)(fold)
             try:
-                for mode in ("fwd", "fwdbwd"):
+                for mode in args.modes.split(","):
                   try:
                     def run_fwd(x):
                         for i in range(chain):

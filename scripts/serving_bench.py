@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="256,512,1024")
-    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument(
+        "--chain", type=int, default=64,
+        help="dependent forwards per dispatch; 64 amortizes the tunnel's "
+        "fixed dispatch cost to <1 ms/forward (8 still left ~16 ms/forward "
+        "of host overhead and under-read throughput by ~20%%)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument(
         "--json-out", default="SERVING_BENCH.json",
@@ -66,11 +70,15 @@ def main() -> None:
         @jax.jit
         def serve(x):
             # chain dependent forwards: logits of pass i perturb pass i+1's
-            # input so the whole chain must execute on device
-            for _ in range(args.chain):
+            # input so the whole chain must execute on device. lax.scan keeps
+            # compile time constant in chain length (an unrolled python loop
+            # stamps out `chain` copies of the stack in HLO).
+            def body(x, _):
                 logits = model.apply(variables, x, deterministic=True)
-                x = x + 1e-6 * jnp.mean(logits).astype(x.dtype)
-            return logits
+                return x + 1e-6 * jnp.mean(logits).astype(x.dtype), ()
+
+            x, _ = jax.lax.scan(body, x, None, length=args.chain - 1)
+            return model.apply(variables, x, deterministic=True)
 
         out = serve(x)
         _ = np.asarray(out)[:1, :1]  # compile + warm
