@@ -287,3 +287,21 @@ def test_fused_decode_l1_matches_xla():
             np.asarray(ga), np.asarray(gb), atol=1e-5, rtol=1e-4,
             err_msg=jtu.keystr(ka),
         )
+
+
+def test_choose_block_eval_forward():
+    """Dropout-inactive forwards take the 32-row block; training forwards
+    keep the 16-row fwd+bwd optimum so program_id-based dropout seeding
+    stays aligned with the backward kernel (fused_layer.py:_bwd_rule)."""
+    from maskedsst_tpu.ops.fused_layer import _choose_block
+
+    # seq >= 32: training 16 rows, eval 32
+    assert _choose_block(1280, 64, 8, 64) == 16
+    assert _choose_block(1280, 64, 8, 64, eval_fwd=True) == 32
+    # short seq: 32 either way
+    assert _choose_block(4096, 20, 8, 64) == 32
+    assert _choose_block(4096, 20, 8, 64, eval_fwd=True) == 32
+    # block must divide the row count and never exceed it
+    assert _choose_block(24, 64, 8, 64, eval_fwd=True) == 24
+    g = _choose_block(20, 64, 8, 64, eval_fwd=True)
+    assert 20 % g == 0
