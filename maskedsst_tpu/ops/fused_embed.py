@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maskedsst_tpu.ops.fused_layer import LN_EPS, _bdot, _compiler_params
+from maskedsst_tpu.ops.fused_layer import LN_EPS, _bdot, _compiler_params, largest_divisor
 
 
 def _fwd_body(pat, m, spn, bpn, kern, bias_gnd, postln_s, postln_b,
@@ -153,10 +153,8 @@ def _bwd_kernel(
 
 
 def _choose_block(batch: int) -> int:
-    g = min(8, batch)
-    while batch % g:
-        g -= 1
-    return g
+    # device-time-tuned rows-per-grid-step cap for this kernel
+    return largest_divisor(batch, 8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))

@@ -431,6 +431,18 @@ def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+def largest_divisor(batch: int, cap: int) -> int:
+    """Largest divisor of ``batch`` that is <= ``cap`` (>= 1).
+
+    Shared rows-per-grid-step chooser for every fused kernel in ops/ — each
+    kernel supplies its own device-time-tuned cap (this module's
+    ``_choose_block``, fused_embed.py, fused_simmim.py)."""
+    g = min(cap, batch)
+    while batch % g:
+        g -= 1
+    return g
+
+
 def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16,
                   eval_fwd=False):
     """Rows per grid step (device-time optima on v5e via scripts/
@@ -450,10 +462,7 @@ def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16,
     target = 32 if eval_fwd else (16 if seq >= 32 else 32)
     if jnp.dtype(compute_dtype).itemsize >= 4:
         target //= 2
-    g = min(target, batch)
-    while batch % g:
-        g -= 1
-    return g
+    return largest_divisor(batch, target)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maskedsst_tpu.ops.fused_layer import _bdot, _compiler_params
+from maskedsst_tpu.ops.fused_layer import _bdot, _compiler_params, largest_divisor
 
 
 def _decode(enc, kern, bias, compute_dtype):
@@ -108,10 +108,8 @@ def _bwd_kernel(
 
 
 def _choose_block(batch: int) -> int:
-    g = min(16, batch)
-    while batch % g:
-        g -= 1
-    return g
+    # device-time-tuned rows-per-grid-step cap for this kernel
+    return largest_divisor(batch, 16)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

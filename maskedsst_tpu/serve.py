@@ -50,12 +50,23 @@ class Predictor:
         batch_size: int = 256,
         postprocess: Optional[Callable] = None,
     ):
-        self.model = model
         self.mesh = mesh if mesh is not None else get_mesh()
         n_data = self.mesh.shape["data"]
         assert batch_size % n_data == 0, (
             f"batch_size {batch_size} not divisible by data axis {n_data}"
         )
+        # Pallas custom calls are opaque to GSPMD: a fused model built
+        # without a mesh would silently all-gather every sharded batch onto
+        # each chip. Rebind the serving mesh so the kernel calls shard_map
+        # over the data axis (models/layers.py FusedTransformer docstring).
+        if (
+            n_data > 1
+            and getattr(model, "fused", False)
+            and hasattr(model, "mesh")
+            and model.mesh is None
+        ):
+            model = model.clone(mesh=self.mesh)
+        self.model = model
         self.batch_size = batch_size
         self._batch_shard = batch_sharding(self.mesh)
         self.variables = jax.device_put(dict(variables), replicate(self.mesh))

@@ -89,3 +89,28 @@ def test_predictor_fused_serving_geometry():
     got = Predictor(m_fused, variables, batch_size=256)(x)
     assert got.shape == (300, 6, 8, 8)
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_predictor_rebinds_mesh_for_fused_model():
+    """A fused model built without a mesh must not be served GSPMD-style:
+    the Pallas custom call is opaque to GSPMD, which would all-gather each
+    sharded batch onto every chip. Predictor rebinds its own mesh so the
+    kernels shard_map over the data axis."""
+    kw = dict(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10, num_classes=6,
+        dim=24, depth=2, heads=2, dim_head=8, mlp_dim=16, channels=40,
+        spectral_pos=[0, 1, 2, 3],
+    )
+    m_fused = ViTSpatialSpectral(**kw, fused=True)
+    x = np.zeros((1, 40, 8, 8), np.float32)
+    variables = jax.jit(lambda k, v: m_fused.init(k, v, deterministic=True))(
+        jax.random.PRNGKey(0), jnp.asarray(x)
+    )
+    pred = Predictor(m_fused, variables, batch_size=8)
+    assert pred.mesh.shape["data"] > 1, "test needs the multi-device mesh"
+    assert pred.model.mesh is pred.mesh
+    # an explicitly meshed (or unfused) model is left untouched
+    pre_meshed = m_fused.clone(mesh=pred.mesh)
+    assert Predictor(pre_meshed, variables, batch_size=8).model is pre_meshed
+    m_xla = ViTSpatialSpectral(**kw, fused=False)
+    assert Predictor(m_xla, variables, batch_size=8).model is m_xla
