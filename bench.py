@@ -36,6 +36,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from maskedsst_tpu.config import get_pretrain_config
     from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
     from maskedsst_tpu.data.synthetic import SyntheticCubeDataset

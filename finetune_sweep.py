@@ -34,6 +34,10 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     random.seed(SEED)
     np.random.seed(SEED)
 

@@ -33,6 +33,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from maskedsst_tpu.config import get_finetune_config
     from maskedsst_tpu.data.resolve import get_dataset
     from maskedsst_tpu.train.factory import build_finetune_model

@@ -122,6 +122,10 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from maskedsst_tpu.hyperx.datasets import HyperX, get_dataset
     from maskedsst_tpu.hyperx.utils import (
         compute_imf_weights,

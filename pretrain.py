@@ -36,6 +36,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     random.seed(SEED)
     np.random.seed(SEED)
 

@@ -631,3 +631,29 @@ def test_pretrainer_logs_windowed_mean_loss(tmp_path):
         window = [per_step[t] for t in range(s - 3, s + 1) if t in per_step]
         if len(window) == 4:
             np.testing.assert_allclose(windowed, np.mean(window), rtol=1e-5)
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """Driver startups enable the on-disk XLA compilation cache (remote
+    compiles cost ~0.4 s each here, minutes under congestion); the env var
+    opts out, and an explicit dir wins over the default."""
+    import jax
+
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("MASKEDSST_COMPILE_CACHE", "0")
+        assert enable_persistent_cache() is None
+
+        monkeypatch.delenv("MASKEDSST_COMPILE_CACHE")
+        target = tmp_path / "cache"
+        got = enable_persistent_cache(str(target))
+        assert got == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+
+        monkeypatch.setenv("MASKEDSST_COMPILE_CACHE", str(tmp_path / "env"))
+        assert enable_persistent_cache() == str(tmp_path / "env")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
