@@ -8,9 +8,12 @@ through ``shard_host_batch`` and runs one real SimMIM pre-training step
 (fwd+bwd+AdamW) on the global data-parallel mesh, then prints the replicated
 loss for the parent test to compare across cluster topologies.
 
-Run: python tests/multihost_worker.py <process_id> <num_processes> <port>
+Run: python tests/multihost_worker.py <process_id> <num_processes> <port> [fused]
 (with num_processes=1 this is the single-host control run on the same
-4-device mesh and global batch).
+4-device mesh and global batch; ``fused=1`` runs the production Pallas
+kernel path — interpret mode on CPU — whose per-shard kernel calls are
+shard_mapped over the multi-process data axis, dropout 0 because the
+in-kernel PRNG has no CPU lowering).
 """
 
 import os
@@ -21,6 +24,7 @@ DEVICES_PER_PROC = {1: 4, 2: 2, 4: 1}
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    fused = len(sys.argv) > 4 and sys.argv[4] == "1"
     n_local = DEVICES_PER_PROC[nproc]
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -54,6 +58,10 @@ def main() -> None:
     config.transformer_n_heads = 2
     config.transformer_mlp_dim = 16
     config.batch_size = 8
+    if fused:
+        config.fused = True
+        config.transformer_dropout = 0.0  # in-kernel PRNG has no CPU lowering
+        config.transformer_emb_dropout = 0.0
 
     trainer = Pretrainer(config, mesh=mesh)
     # every process builds the same GLOBAL batch deterministically, then

@@ -40,9 +40,9 @@ def _clean_env() -> dict:
     return env
 
 
-def _launch(pid: int, nproc: int, port: int) -> subprocess.Popen:
+def _launch(pid: int, nproc: int, port: int, fused: bool = False) -> subprocess.Popen:
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port)],
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), str(int(fused))],
         cwd=REPO,
         env=_clean_env(),
         stdout=subprocess.PIPE,
@@ -79,5 +79,20 @@ def test_two_process_cluster_matches_single_process():
     # both ranks see the same replicated loss and identical updated params
     assert multi[0] == pytest.approx(multi[1], rel=0, abs=0.0)
     # and the 2-process cluster reproduces the single-process 4-device step
+    np.testing.assert_allclose(multi[0][0], single[0][0], rtol=1e-6)
+    np.testing.assert_allclose(multi[0][1], single[0][1], rtol=1e-6)
+
+
+def test_two_process_cluster_fused_kernels():
+    """Production path across processes: the Pallas kernel calls (interpret
+    mode on CPU) run under shard_map over a data axis that SPANS two
+    processes, with the gradient psum riding Gloo. Replicated loss/params
+    must agree across ranks and match the single-process fused control."""
+    port = _free_port()
+    procs = [_launch(0, 2, port, fused=True), _launch(1, 2, port, fused=True)]
+    multi = _results(procs)
+    single = _results([_launch(0, 1, _free_port(), fused=True)])
+
+    assert multi[0] == pytest.approx(multi[1], rel=0, abs=0.0)
     np.testing.assert_allclose(multi[0][0], single[0][0], rtol=1e-6)
     np.testing.assert_allclose(multi[0][1], single[0][1], rtol=1e-6)
