@@ -244,7 +244,34 @@ class ViTSpatialSpectral(nn.Module):
 
     def forward_features(self, img, *, deterministic: bool = True) -> jnp.ndarray:
         """Tokenize, add positions, run the factorized transformer
-        (reference forward_features, :518-534)."""
+        (reference forward_features, :518-534).
+
+        With ``fused=True`` and a blockwise embedding, the tokenize→+pos
+        prologue runs through the fused Pallas embed kernel
+        (ops/fused_embed.py) with a zero mask and zero mask-token — the
+        select reduces to the identity, so the math is the SimMIM kernel's
+        with the masking disabled, replacing the embed/pos XLA glue fusions
+        in the classifier (serving/finetune) forward. Falls back to the XLA
+        expression when embedding dropout is active (the kernel has no
+        dropout site)."""
+        if (
+            self.fused
+            and self.blockwise_patch_embed
+            and (deterministic or self.emb_dropout == 0.0)
+        ):
+            b = img.shape[0]
+            c = self.num_spectral_patches
+            n = self.num_spatial_patches
+            patches = self.to_patch_embedding.to_patch_pn(img)
+            pos = self.pos_embedding_for(c * n)
+            tokens = self.to_patch_embedding.embed_mask_fused(
+                patches,
+                pos.reshape(c, n, self.dim),
+                jnp.zeros((self.dim,), jnp.float32),
+                jnp.zeros((b, c, n), jnp.float32),
+                mesh=self.mesh,
+            ).reshape(b, c * n, self.dim)
+            return self.transformer_forward(tokens, deterministic=deterministic)
         x = self.to_patch_embedding(img)
         x = x + self.pos_embedding_for(x.shape[1]).astype(x.dtype)
         x = self.emb_drop(x, deterministic=deterministic)
