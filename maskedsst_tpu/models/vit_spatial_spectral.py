@@ -224,11 +224,21 @@ class ViTSpatialSpectral(nn.Module):
             return self.get_pos_embeddings()
         return self.pos_embedding[:, :num_tokens]
 
-    def transformer_forward(self, x, *, deterministic: bool = True) -> jnp.ndarray:
+    def transformer_forward(
+        self, x, *, deterministic: bool = True, spectral_layout_out: bool = False
+    ) -> jnp.ndarray:
         """Factorized transformer over tokens [B, c*n, d] (block-major).
 
         Reshapes to [B, c, n, d]; the spatial stack treats (B, c) as batch,
         the spectral stack (B, n) — one transpose between them, no gathers.
+
+        ``spectral_layout_out=True`` returns the spectral stack's native
+        layout [B, n, c, d] and skips the final ``swapaxes`` — a physical
+        relayout under TPU tiling whose only purpose is restoring block-major
+        token order. The classifier heads are spectral-order-invariant
+        (mean-pool) or consume [B, n, c, d] directly (``spectral_mlp_head``),
+        so they take this path; SimMIM needs block-major for the per-block
+        decode and keeps the default.
         """
         b, num_tokens, d = x.shape
         c = self.num_spectral_patches
@@ -239,12 +249,17 @@ class ViTSpatialSpectral(nn.Module):
             x = self.spatial_transformer(x, deterministic=deterministic)
         x = jnp.swapaxes(x, 1, 2)  # [B, n, c, d]
         x = self.spectral_transformer(x, deterministic=deterministic)
+        if spectral_layout_out:
+            return x  # [B, n, c, d]
         x = jnp.swapaxes(x, 1, 2)  # [B, c, n, d]
         return x.reshape(b, c * n, d)
 
-    def forward_features(self, img, *, deterministic: bool = True) -> jnp.ndarray:
+    def forward_features(
+        self, img, *, deterministic: bool = True, spectral_layout_out: bool = False
+    ) -> jnp.ndarray:
         """Tokenize, add positions, run the factorized transformer
-        (reference forward_features, :518-534).
+        (reference forward_features, :518-534). ``spectral_layout_out``
+        propagates to :meth:`transformer_forward` (returns [B, n, c, d]).
 
         With ``fused=True`` and a blockwise embedding, the tokenize→+pos
         prologue runs through the fused Pallas embed kernel
@@ -271,11 +286,17 @@ class ViTSpatialSpectral(nn.Module):
                 jnp.zeros((b, c, n), jnp.float32),
                 mesh=self.mesh,
             ).reshape(b, c * n, self.dim)
-            return self.transformer_forward(tokens, deterministic=deterministic)
+            return self.transformer_forward(
+                tokens,
+                deterministic=deterministic,
+                spectral_layout_out=spectral_layout_out,
+            )
         x = self.to_patch_embedding(img)
         x = x + self.pos_embedding_for(x.shape[1]).astype(x.dtype)
         x = self.emb_drop(x, deterministic=deterministic)
-        return self.transformer_forward(x, deterministic=deterministic)
+        return self.transformer_forward(
+            x, deterministic=deterministic, spectral_layout_out=spectral_layout_out
+        )
 
     def __call__(self, img, *, deterministic: bool = True) -> jnp.ndarray:
         """Forward pass: cube [B, C, H, W] → logits.
@@ -285,20 +306,24 @@ class ViTSpatialSpectral(nn.Module):
         [B, num_classes]. ``spectral_mlp_head``: per-pixel logits from the
         concatenated per-block tokens.
         """
-        x = self.forward_features(img, deterministic=deterministic)
+        # heads consume the spectral stack's [B, n, c, d] layout directly —
+        # the block-major restore transpose never runs (see
+        # transformer_forward docstring)
+        x = self.forward_features(
+            img, deterministic=deterministic, spectral_layout_out=True
+        )
         b = x.shape[0]
         c = self.num_spectral_patches
         hh = ww = self.num_spatial_patches_sqrt
         p1, p2 = self.patch_height, self.patch_width
-        x = x.reshape(b, c, hh * ww, self.dim)
 
         if self.spectral_mlp_head:
-            # b (c h w) d -> b h w (c d), block index major in the last dim
-            x = jnp.swapaxes(x, 1, 2).reshape(b, hh, ww, c * self.dim)
+            # [B, n, c, d] -> b h w (c d), block index major in the last dim
+            x = x.reshape(b, hh, ww, c * self.dim)
             x = self.head_linear(self.head_norm(x))
             return _unfold_pixel_logits(x, p1, p2, self.num_classes)
 
-        x = x.mean(axis=1)  # mean-pool over spectral blocks
+        x = x.mean(axis=2)  # mean-pool over spectral blocks: [B, n, d]
         x = x.reshape(b, hh, ww, self.dim)
 
         if self.pixelwise:
