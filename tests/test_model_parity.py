@@ -195,3 +195,34 @@ def test_exported_pth_loads_into_reference(tmp_path):
         want = ref_model(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x), deterministic=True))
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=1e-4)
+
+
+def test_spectral_layout_out_contract():
+    """transformer_forward(spectral_layout_out=True) is exactly the default
+    block-major output with the restore transpose undone — the contract the
+    classifier heads rely on (vit_spatial_spectral.py:227)."""
+    kwargs = _common_kwargs()
+    del kwargs["spectral_pos"]
+    model = ViTSpatialSpectral(**kwargs, spectral_pos=[0, 1])
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(
+        (2, kwargs["channels"], kwargs["image_size"], kwargs["image_size"])
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), deterministic=True)["params"]
+
+    def features(layout):
+        return model.apply(
+            {"params": params},
+            jnp.asarray(x),
+            deterministic=True,
+            spectral_layout_out=layout,
+            method=model.forward_features,
+        )
+
+    default = np.asarray(features(False))  # [B, c*n, d] block-major
+    spectral = np.asarray(features(True))  # [B, n, c, d]
+    b, _, d = default.shape
+    c = model.num_spectral_patches
+    n = model.num_spatial_patches_sqrt**2
+    restored = np.swapaxes(spectral, 1, 2).reshape(b, c * n, d)
+    np.testing.assert_array_equal(restored, default)
