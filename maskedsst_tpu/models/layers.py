@@ -420,8 +420,6 @@ class BlockwisePatchEmbedding(nn.Module):
         Returns tokens [B, g, n, d]. On a multi-device ``data`` mesh the
         call is shard_mapped over the batch (GSPMD treats Mosaic custom
         calls as opaque)."""
-        import jax as _jax
-
         from maskedsst_tpu.ops.fused_embed import fused_embed_mask
 
         pd = self.patch_dim
@@ -444,7 +442,7 @@ class BlockwisePatchEmbedding(nn.Module):
         # match embed_pn's default (self.dtype or input dtype) so the fused
         # and XLA paths stay numerically interchangeable when dtype is None
         compute_dtype = self.dtype or patches_pn.dtype
-        interpret = interpret or _jax.default_backend() == "cpu"
+        interpret = interpret or jax.default_backend() == "cpu"
 
         from maskedsst_tpu.parallel.mesh import data_axis_or_warn
 
@@ -460,7 +458,7 @@ class BlockwisePatchEmbedding(nn.Module):
                     compute_dtype, interpret,
                 )
 
-            return _jax.shard_map(
+            return jax.shard_map(
                 run,
                 mesh=mesh,
                 in_specs=(P("data"), P("data")) + (P(),) * 8,

@@ -9,9 +9,11 @@ each paying the fixed critical-path fusion cost (CLAUDE.md perf model).
 Layouts: patches [B, g, p, n] raw pixels (see to_patch_pn: n=64 on lanes),
 pos [g, n, d], mask [B, g, n] as 0/1 float, output tokens [B, g, n, d].
 Gradients flow to every parameter (pre/post-LN scale+bias, embed kernel and
-bias, pos, mask_token) but NOT to the patches (training data) — the
-backward kernel therefore skips the pre-LN input-gradient entirely and only
-reduces the scale/bias sums.
+bias, pos, mask_token). The backward KERNEL only reduces the parameter
+grads; the data-input cotangents (patches, mask) are recomputed as plain
+XLA ops in the bwd rule (_input_grads_xla) so the train step — where the
+batch is a leaf constant — dead-code-eliminates them, while attribution
+callers (jax.grad w.r.t. the image) get the same values as the XLA path.
 
 Mosaic broadcast rules (found by bisection on v5e): broadcasting a size-1
 SUBLANE dim in rank≥3 (e.g. [1,1,d] + [bbg,n,d]) crashes the compiler,
@@ -229,6 +231,62 @@ def _fwd_impl(patches_pn, mask, preln_s, preln_b, kernel, bias,
       pos, masked_gnd)
 
 
+def _input_grads_xla(patches_pn, mask, preln_s, preln_b, kernel, bias,
+                     postln_s, postln_b, pos, mask_token, compute_dtype, dtok):
+    """True cotangents for the DATA inputs (patches_pn, mask), recomputed
+    as plain XLA ops. In the train step these are unused (the batch is a
+    leaf constant) and XLA dead-code-eliminates the whole chain, so the hot
+    path pays nothing; input-attribution callers (saliency, adversarial
+    probing) get the same gradients the fused=False XLA path produces
+    instead of silent zeros."""
+    b, g, p, n = patches_pn.shape
+    d = kernel.shape[-1]
+    xf = patches_pn.reshape(b * g, p, n).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + LN_EPS)
+    z1 = (xf - mu) * rsig
+    xln = z1 * preln_s[None, :, None] + preln_b[None, :, None]
+    kb = jnp.broadcast_to(kernel[None], (b, g, p, d)).reshape(b * g, p, d)
+    t = _bdot(xln, kb, ((1,), (1,)), compute_dtype)  # [bg, n, d]
+    t4 = t.reshape(b, g, n, d) + bias[None, :, None, :].astype(jnp.float32)
+    rows = t4.reshape(b * g * n, d)
+    mu2 = jnp.mean(rows, axis=-1, keepdims=True)
+    var2 = jnp.mean((rows - mu2) ** 2, axis=-1, keepdims=True)
+    rsig2 = jax.lax.rsqrt(var2 + LN_EPS)
+    z2 = (rows - mu2) * rsig2
+    t2 = (z2 * postln_s + postln_b).reshape(b, g, n, d)
+    kept = t2 + pos[None].astype(jnp.float32)  # pre-select tokens
+    mb = mask[:, :, :, None].astype(jnp.float32)
+    masked_gnd = (pos + mask_token[None, None, :]).astype(jnp.float32)
+
+    dtok4 = dtok.astype(jnp.float32)
+    # select bwd: tokens = kept·(1−m) + masked·m
+    dmask = jnp.sum(dtok4 * (masked_gnd[None] - kept), axis=-1)
+    dkept = dtok4 * (1.0 - mb)
+    # post-LN bwd
+    dt2 = dkept.reshape(b * g * n, d)
+    dz = dt2 * postln_s
+    dt = rsig2 * (
+        dz
+        - jnp.mean(dz, axis=-1, keepdims=True)
+        - z2 * jnp.mean(dz * z2, axis=-1, keepdims=True)
+    )
+    dt3 = dt.reshape(b * g, n, d)
+    # embed matmul bwd to xln, then pre-LN bwd to raw pixels
+    dxln = _bdot(kb, dt3, ((2,), (2,)), compute_dtype)  # [bg, p, n]
+    dz1 = dxln * preln_s[None, :, None]
+    dxf = rsig * (
+        dz1
+        - jnp.mean(dz1, axis=1, keepdims=True)
+        - z1 * jnp.mean(dz1 * z1, axis=1, keepdims=True)
+    )
+    return (
+        dxf.reshape(b, g, p, n).astype(patches_pn.dtype),
+        dmask.astype(mask.dtype),
+    )
+
+
 def _fwd_rule(patches_pn, mask, preln_s, preln_b, kernel, bias,
               postln_s, postln_b, pos, mask_token, compute_dtype, interpret):
     out = _fwd_impl(
@@ -281,10 +339,16 @@ def _bwd_rule(compute_dtype, interpret, residuals, dtok):
     )(patches_pn, mask, spn, bpn, kernel, bias_gnd, postln_s, postln_b,
       pos, masked_gnd, dtok)
     (dprs, dprb, dkern, dbias_gnd, dpls, dplb, dpos_kept, dmasked) = outs
+    # data-input cotangents in XLA: DCE'd by the train step, real values
+    # for attribution callers (the kernel itself only reduces param grads)
+    dpatches, dmask = _input_grads_xla(
+        patches_pn, mask, preln_s, preln_b, kernel, bias,
+        postln_s, postln_b, pos, mask_token, compute_dtype, dtok,
+    )
     # the masked table is pos + mask_token → its cotangent feeds both
     return (
-        jnp.zeros_like(patches_pn),  # training data: no gradient (DCE'd)
-        jnp.zeros_like(mask),
+        dpatches,
+        dmask,
         dprs.astype(preln_s.dtype),
         dprb.astype(preln_b.dtype),
         dkern.astype(kernel.dtype),

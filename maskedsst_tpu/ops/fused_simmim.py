@@ -7,8 +7,9 @@ twins). At the reference geometry each is compute-trivial but pays the
 fixed per-fusion cost on the dependent critical path (CLAUDE.md perf
 model), totalling a few tenths of a millisecond per train step. This
 kernel runs the whole tail in one pass per batch block, with a custom-VJP
-backward kernel producing d(encoded), d(kernel), d(bias) (targets and
-weights carry no gradient).
+backward kernel producing d(encoded), d(kernel), d(bias); the data-input
+cotangents (targets, weights) are recomputed as DCE-able XLA ops in the
+bwd rule (_input_grads_xla).
 
 Layouts (see BlockwisePatchEmbedding.to_patch_pn): encoded [B, g, n, d]
 (d=dim on lanes), patches [B, g, p, n] raw pixels (n on lanes — the p-wide
@@ -163,6 +164,30 @@ def _fwd_impl(encoded, patches_pn, kernel, bias, weights, compute_dtype, interpr
     return out[0, 0]
 
 
+def _input_grads_xla(encoded, patches_pn, kernel, bias, weights, compute_dtype, gout):
+    """True cotangents for the DATA inputs (patches_pn targets, weights),
+    recomputed as plain XLA ops. The train step never uses them (targets
+    and mask weights are leaf constants) so XLA dead-code-eliminates the
+    chain; attribution callers get the same gradients as the fused=False
+    XLA loss tail instead of silent zeros."""
+    b, g, n, d = encoded.shape
+    p = kernel.shape[-1]
+    encb = encoded.reshape(b * g, n, d)
+    kb = jnp.broadcast_to(kernel[None], (b, g, d, p)).reshape(b * g, d, p)
+    preds = _bdot(kb, encb, ((1,), (2,)), compute_dtype)  # [bg, p, n]
+    biasb = jnp.broadcast_to(bias[None, :, :, None], (b, g, p, 1)).reshape(
+        b * g, p, 1
+    )
+    diff = (preds + biasb.astype(jnp.float32)) - patches_pn.reshape(
+        b * g, p, n
+    ).astype(jnp.float32)
+    w = weights.reshape(b * g, 1, n).astype(jnp.float32)
+    gs = jnp.asarray(gout, jnp.float32)
+    dpat = (-jnp.sign(diff) * w * gs).reshape(b, g, p, n)
+    dw = (jnp.sum(jnp.abs(diff), axis=1) * gs).reshape(weights.shape)
+    return dpat.astype(patches_pn.dtype), dw.astype(weights.dtype)
+
+
 def _fwd_rule(encoded, patches_pn, kernel, bias, weights, compute_dtype, interpret):
     out = _fwd_impl(
         encoded, patches_pn, kernel, bias, weights, compute_dtype, interpret
@@ -199,12 +224,18 @@ def _bwd_rule(compute_dtype, interpret, residuals, gout):
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(g_arr, encoded, patches_pn, kernel, bias, w3)
+    # data-input cotangents in XLA: DCE'd by the train step, real values
+    # for attribution callers (the kernel itself only produces denc + param
+    # grads)
+    dpat, dw = _input_grads_xla(
+        encoded, patches_pn, kernel, bias, weights, compute_dtype, gout
+    )
     return (
         denc,
-        jnp.zeros_like(patches_pn),  # targets carry no gradient (DCE'd)
+        dpat,
         dkern.astype(kernel.dtype),
         dbias.astype(bias.dtype),
-        jnp.zeros_like(weights),  # 0/1 mask weights carry no gradient
+        dw,
     )
 
 

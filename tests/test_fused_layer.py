@@ -305,3 +305,67 @@ def test_choose_block_eval_forward():
     assert _choose_block(24, 64, 8, 64, eval_fwd=True) == 24
     g = _choose_block(20, 64, 8, 64, eval_fwd=True)
     assert 20 % g == 0
+
+
+def test_fused_input_gradients_match_xla():
+    """jax.grad w.r.t. the INPUT IMAGE must agree between fused=True and
+    fused=False: the fused embed/decode custom VJPs recompute the data-input
+    cotangents in XLA (_input_grads_xla) instead of returning silent zeros
+    (saliency/attribution contract; the train step DCEs these)."""
+    from maskedsst_tpu.models import SimMIMSpatialSpectral, ViTSpatialSpectral
+    from maskedsst_tpu.ops.masking import MaskGenerator
+
+    kw = dict(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10,
+        num_classes=3, dim=D, depth=2, heads=H, dim_head=DH, mlp_dim=F,
+        channels=40, spectral_pos=[0, 1, 2, 3],
+    )
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((4, 40, 8, 8)), jnp.float32
+    )
+    bool_mask = MaskGenerator(8, 4, 1, 0.7).batch_masks(
+        jax.random.PRNGKey(3), 4, 4, True
+    )
+
+    img_grads, logit_grads = {}, {}
+    params = enc_params = None
+    for fused in (False, True):
+        enc = ViTSpatialSpectral(**kw, fused=fused)
+        mim = SimMIMSpatialSpectral(
+            encoder=enc, masking_ratio=0.7, mask_patch_size=4,
+            tube_masking=True, to_pixels_per_spectral_block=True,
+        )
+        if params is None:
+            params = mim.init(
+                {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+                x, deterministic=True,
+            )["params"]
+            # SimMIM init never touches the classifier head → init the
+            # encoder separately for the logits leg (verify-skill seam)
+            enc_params = enc.init(
+                jax.random.PRNGKey(2), x, deterministic=True
+            )["params"]
+
+        # SimMIM loss: image feeds BOTH the embed prologue (patches) and
+        # the L1 targets — exercises both kernels' input cotangents
+        img_grads[fused] = jax.grad(
+            lambda xx, mim=mim: mim.apply(
+                {"params": params}, xx, deterministic=True, bool_mask=bool_mask
+            )
+        )(x)
+        # classifier forward: embed prologue only
+        logit_grads[fused] = jax.grad(
+            lambda xx, enc=enc: enc.apply(
+                {"params": enc_params}, xx, deterministic=True
+            ).sum()
+        )(x)
+
+    assert float(jnp.abs(img_grads[True]).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(img_grads[True]), np.asarray(img_grads[False]),
+        atol=1e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logit_grads[True]), np.asarray(logit_grads[False]),
+        atol=1e-4, rtol=1e-4,
+    )
