@@ -99,10 +99,13 @@ class Finetuner:
         rng = jax.random.PRNGKey(config.get("seed", 5))
         if params is None:
             size = config.image_size - config.get("patch_sub", 0)
+            # init at the data-axis batch so the fused embed kernel's
+            # shard_map guard never warns/falls back during tracing
+            ib = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
             shape = (
-                (1, 1, config.n_bands, size, size)
+                (ib, 1, config.n_bands, size, size)
                 if add_channel_dim
-                else (1, config.n_bands, size, size)
+                else (ib, config.n_bands, size, size)
             )
             init_fn = jax.jit(partial(model.init, deterministic=True))
             params = init_fn(rng, jnp.zeros(shape, jnp.float32))["params"]
@@ -198,9 +201,36 @@ class Finetuner:
             label = label[:, center, center]  # utils.py:630-634
         return img, label
 
+    def _pad_batch(self, img, label):
+        """Pad the (possibly windowed) batch to a multiple of the data-axis
+        size: the fused Pallas kernels shard_map over the data axis only
+        when the batch divides it (parallel.mesh.data_axis_or_warn falls
+        back to GSPMD otherwise, which may all-gather the batch onto every
+        chip). Pad rows carry ``ignored_label``, so the weighted loss (zero
+        weight mass) and every metric (validity mask) drop them exactly —
+        loss, gradients, and metrics are bit-unchanged."""
+        n_data = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
+        pad = (-img.shape[0]) % n_data
+        if pad == 0:
+            return img, label
+        img = jnp.concatenate(
+            [img, jnp.zeros((pad, *img.shape[1:]), img.dtype)], axis=0
+        )
+        label = jnp.concatenate(
+            [
+                label,
+                jnp.full(
+                    (pad, *label.shape[1:]), self.config.ignored_label, label.dtype
+                ),
+            ],
+            axis=0,
+        )
+        return img, label
+
     def _step(self, state: TrainState, img, label, *, crop: bool, shifting_window: bool):
         rng, crop_rng, drop_rng = jax.random.split(state.rng, 3)
         img, label = self._prep(img, label, crop_rng, crop=crop, shifting_window=shifting_window)
+        img, label = self._pad_batch(img, label)
         (loss, logits), grads = jax.value_and_grad(self._forward_loss, has_aux=True)(
             state.params, img, label, drop_rng, True
         )
@@ -227,6 +257,7 @@ class Finetuner:
         if self.center_pixel and label.ndim == 3:
             center = s // 2
             label = label[:, center, center]
+        img, label = self._pad_batch(img, label)
         _, logits = self._forward_loss(state.params, img, label, state.rng, False)
         loss_num, loss_wsum = cross_entropy_sums(
             logits, label, ignore_index=self.config.ignored_label, weight=self.class_weights

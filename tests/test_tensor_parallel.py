@@ -204,7 +204,18 @@ def test_fused_dp_train_step_matches_single_device():
 def test_fused_finetune_step_matches_single_device():
     """The FUSED finetune train step (classification head, split LRs) with
     the batch sharded over 8 devices must match the identical step on a
-    1-device mesh — the finetuning analog of the fused-DP pretrain test."""
+    1-device mesh — the finetuning analog of the fused-DP pretrain test.
+
+    Batch 6 does NOT divide the 8-device data axis. The streamed
+    `_train_step` rejects that at the pjit boundary, but the production
+    HBM-resident path (`_train_step_idx`, replicated in_shardings +
+    internal sharding constraint) accepts any batch — there
+    Finetuner._pad_batch must pad with ignored-label rows inside the step
+    so the fused kernels keep their guaranteed shard_map sharding: no
+    GSPMD-fallback warning may fire, and the padding must leave
+    loss/metrics/params unchanged vs the single-device step."""
+    import warnings
+
     from maskedsst_tpu.config import get_finetune_config
     from maskedsst_tpu.train.factory import build_finetune_model
     from maskedsst_tpu.train.finetuner import Finetuner
@@ -218,13 +229,14 @@ def test_fused_finetune_step_matches_single_device():
     cfg.spectral_pos = [0, 1, 2, 3]
     cfg.transformer_dropout = 0.0  # in-kernel PRNG has no CPU lowering
     cfg.transformer_emb_dropout = 0.0
-    cfg.batch_size = 8
+    cfg.batch_size = 6
     cfg.fused = True
 
     size = cfg.image_size - cfg.get("patch_sub", 0)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((8, 40, 64, 64)), jnp.float32)
-    label = jnp.asarray(rng.integers(0, cfg.n_classes, (8, 32, 32)), jnp.int32)
+    imgs = jnp.asarray(rng.standard_normal((6, 40, 64, 64)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg.n_classes, (6, 32, 32)), jnp.int32)
+    idx = jnp.arange(6, dtype=jnp.int32)
 
     results = {}
     for tag, mesh in (
@@ -232,17 +244,21 @@ def test_fused_finetune_step_matches_single_device():
         ("single", get_mesh(devices=jax.devices()[:1])),
     ):
         model, kw = build_finetune_model(cfg, mesh=mesh)
-        tr = Finetuner(cfg, model, mesh=mesh, **kw)
-        state, metrics = tr._train_step(tr.state, img, label)
+        with warnings.catch_warnings():
+            # the production multi-chip path must never hit the
+            # GSPMD-fallback warning (parallel.mesh.data_axis_or_warn)
+            warnings.simplefilter("error", UserWarning)
+            tr = Finetuner(cfg, model, mesh=mesh, **kw)
+            state, metrics = tr._train_step_idx(tr.state, imgs, labels, idx)
         results[tag] = (jax.device_get(state.params), jax.device_get(metrics))
 
     m8, m1 = results["dp8"][1], results["single"][1]
     np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
-    # atol covers fp32 reduction-order noise: the classifier forward's fused
-    # embed kernel takes the GSPMD fallback here (crop batch not divisible by
-    # 8), so embed-param grad reductions are partitioned differently on the
-    # 8-device mesh than on 1 device (observed max |diff| ~1.2e-5 on 1/9216
-    # elements after the optimizer step).
+    np.testing.assert_allclose(
+        float(m8["macro_acc"]), float(m1["macro_acc"]), rtol=1e-6
+    )
+    # atol covers fp32 reduction-order noise: grad reductions are
+    # partitioned differently on the 8-device mesh than on 1 device
     for pa, pb in zip(
         jax.tree.leaves(results["dp8"][0]), jax.tree.leaves(results["single"][0])
     ):
