@@ -103,6 +103,23 @@ class Pretrainer:
         self.config = config
         self.mesh = mesh if mesh is not None else get_mesh()
         self.tile_size = tile_size
+        n_data = self.mesh.shape.get("data", 1)
+        if config.batch_size % n_data != 0:
+            # unlike the Finetuner (whose ignored-label rows are
+            # loss-neutral), the SimMIM loss normalizes over the true batch
+            # — the trainer cannot pad silently, and a non-divisible batch
+            # drops the fused kernels to the GSPMD fallback (possible
+            # all-gather of the batch onto every chip). Warn up front;
+            # data_axis_or_warn repeats the warning at each trace.
+            import warnings
+
+            warnings.warn(
+                f"batch_size={config.batch_size} is not a multiple of the "
+                f"data mesh axis ({n_data}): data-parallel sharding of the "
+                "fused kernels falls back to GSPMD (perf cliff). Use a "
+                "batch that divides the data axis for production runs.",
+                stacklevel=2,
+            )
         self.model = build_pretrain_model(config, dtype=dtype, mesh=self.mesh)
 
         tx = build_optimizer(
@@ -114,8 +131,11 @@ class Pretrainer:
         )
         rng = jax.random.PRNGKey(config.get("seed", 5))
         init_rng, state_rng = jax.random.split(rng)
+        # init at the data-axis batch so the fused kernels' shard_map guard
+        # never warns/falls back during the init trace
         sample = jnp.zeros(
-            (1, config.n_bands, config.image_size, config.image_size), jnp.float32
+            (n_data, config.n_bands, config.image_size, config.image_size),
+            jnp.float32,
         )
         init_fn = jax.jit(
             partial(self.model.init, deterministic=True)
