@@ -235,8 +235,12 @@ class FusedTransformer(nn.Module):
 
             def run_layer(xs, ps, seed):
                 # decorrelate per-device dropout streams; fwd and bwd derive
-                # the identical per-shard seed, so masks stay consistent
-                seed = seed + jax.lax.axis_index("data") * jnp.int32(-1640531527)
+                # the identical per-shard seed, so masks stay consistent.
+                # The odd multiplier MUST differ from _keep_mask's block
+                # mixer (-1640531527): with the same constant, device d's
+                # block b would reproduce device d+1's block b-1 seeds and
+                # adjacent devices would reuse nearly all dropout masks.
+                seed = seed + jax.lax.axis_index("data") * jnp.int32(668265261)
                 return fused_transformer_layer(
                     xs, ps, seed, self.heads, self.dim_head, compute_dtype,
                     self.dropout, train, interpret, project_out,

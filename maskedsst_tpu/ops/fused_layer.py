@@ -24,8 +24,10 @@ Training runs fused end-to-end through a custom VJP: the backward kernel
 recomputes activations blockwise in VMEM and accumulates parameter gradients
 across sequential grid steps in fp32 output accumulators. Dropout masks are
 regenerated bit-exactly in the backward pass from the TPU PRNG, seeded by
-(layer seed, GLOBAL block index, site) — forward and backward use the same
-block size so the masks agree.
+(layer seed, GLOBAL block index, site) — whenever dropout is active,
+forward and backward use the same block size so the masks agree (with
+dropout inactive the forward may take the larger eval_fwd block; no PRNG
+state exists then, see _choose_block).
 """
 
 from __future__ import annotations
@@ -282,7 +284,7 @@ def _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, seq, g, compute_dtype, want_c
     a_d = a * a_mask if a_mask is not None else a
     o = _bmm(a_d, v, compute_dtype)  # [HG/f, fS, dh]
     o = o.reshape(heads, gs, dim_head)
-    cache = (qkvh, q, k, v, a, a_d, a_mask) if want_cache else None
+    cache = (q, k, v, a, a_d, a_mask) if want_cache else None
     return o, cache
 
 
@@ -337,7 +339,7 @@ def _layer_bwd_kernel(
     o_heads, cache = _attn_fwd(
         h1, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype, want_cache=True
     )
-    qkvh, q, k, v, a, a_d, a_mask = cache
+    q, k, v, a, a_d, a_mask = cache
     p1 = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0) + bout_ref[:].astype(jnp.float32)
     proj_mask = drop.mask(p1.shape, _SITE_PROJ) if proj_dropout else None
     if proj_mask is not None:
@@ -437,14 +439,15 @@ def largest_divisor(batch: int, cap: int) -> int:
     Shared rows-per-grid-step chooser for every fused kernel in ops/ — each
     kernel supplies its own device-time-tuned cap (this module's
     ``_choose_block``, fused_embed.py, fused_simmim.py)."""
+    if batch <= 0:
+        return 1  # empty batch: grid 0, kernel never runs
     g = min(cap, batch)
     while batch % g:
         g -= 1
     return g
 
 
-def _choose_block(batch, seq, heads, dim_head, compute_dtype=jnp.bfloat16,
-                  eval_fwd=False):
+def _choose_block(batch, seq, compute_dtype=jnp.bfloat16, eval_fwd=False):
     """Rows per grid step (device-time optima on v5e via scripts/
     kernel_tune.py): ~16 rows at seq 64, ~32 at seq 20. Larger blocks beyond
     these measure flat-to-worse (fwd+bwd): more rows amortize per-step
@@ -485,10 +488,14 @@ def fused_transformer_layer(
     and step). ``proj_dropout=False`` skips the post-projection dropout site
     (reference Attention has no to_out — and so no dropout there — when
     heads == 1 and dim_head == dim; callers then pass identity wout)."""
+    if not 0.0 <= dropout_rate < 1.0:
+        # rate 1.0 would overflow the uint32 keep-threshold and scale the
+        # kept values by inf — reject up front with a clear error
+        raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
     return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
 
 
-def _kernel_inputs(x, params, seed, heads, dim_head, headmajor=None):
+def _kernel_inputs(params, seed, heads, dim_head, headmajor=None):
     wqkv3, wout3 = headmajor if headmajor is not None else _to_headmajor(
         params, heads, dim_head
     )
@@ -502,7 +509,7 @@ def _kernel_inputs(x, params, seed, heads, dim_head, headmajor=None):
 
 def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True, headmajor=None):
     b, s, d = x.shape
-    g = _choose_block(b, s, heads, dim_head, compute_dtype,
+    g = _choose_block(b, s, compute_dtype,
                       eval_fwd=not (train and dropout_rate > 0.0))
     kernel = functools.partial(
         _layer_fwd_kernel,
@@ -510,7 +517,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
         proj_dropout=proj_dropout,
     )
-    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head, headmajor)
+    seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
@@ -542,14 +549,14 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
     b, s, d = x.shape
     # the same block size as the forward keeps program_id-based dropout
     # seeding consistent between the passes
-    g = _choose_block(b, s, heads, dim_head, compute_dtype)
+    g = _choose_block(b, s, compute_dtype)
     kernel = functools.partial(
         _layer_bwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
         proj_dropout=proj_dropout,
     )
-    seed_arr, tensors = _kernel_inputs(x, params, seed, heads, dim_head, headmajor)
+    seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor)
     grad_shapes = [
         jax.ShapeDtypeStruct(params.ln1_scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln1_bias.shape, jnp.float32),

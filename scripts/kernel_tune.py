@@ -106,7 +106,7 @@ def main() -> None:
     for shape_name in args.shapes.split(","):
         b, s = SHAPES[shape_name]
         x0 = jnp.asarray(rng.standard_normal((b, s, DIM)), jnp.bfloat16)
-        default_g = fl._choose_block(b, s, HEADS, DH)
+        default_g = fl._choose_block(b, s)
         gs = [int(v) for v in args.gs.split(",") if v] or sorted(
             {default_g, 4, 8, 16, 32, 64} & {g for g in range(1, b + 1) if b % g == 0}
         )

@@ -296,14 +296,14 @@ def test_choose_block_eval_forward():
     from maskedsst_tpu.ops.fused_layer import _choose_block
 
     # seq >= 32: training 16 rows, eval 32
-    assert _choose_block(1280, 64, 8, 64) == 16
-    assert _choose_block(1280, 64, 8, 64, eval_fwd=True) == 32
+    assert _choose_block(1280, 64) == 16
+    assert _choose_block(1280, 64, eval_fwd=True) == 32
     # short seq: 32 either way
-    assert _choose_block(4096, 20, 8, 64) == 32
-    assert _choose_block(4096, 20, 8, 64, eval_fwd=True) == 32
+    assert _choose_block(4096, 20) == 32
+    assert _choose_block(4096, 20, eval_fwd=True) == 32
     # block must divide the row count and never exceed it
-    assert _choose_block(24, 64, 8, 64, eval_fwd=True) == 24
-    g = _choose_block(20, 64, 8, 64, eval_fwd=True)
+    assert _choose_block(24, 64, eval_fwd=True) == 24
+    g = _choose_block(20, 64, eval_fwd=True)
     assert 20 % g == 0
 
 
@@ -369,3 +369,36 @@ def test_fused_input_gradients_match_xla():
         np.asarray(logit_grads[True]), np.asarray(logit_grads[False]),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_fused_layer_guards():
+    """Entry-point guards: dropout_rate 1.0 would overflow the uint32
+    keep-threshold (reject with a clear error); an empty batch must pick a
+    valid block size instead of dividing by zero."""
+    import pytest
+
+    from maskedsst_tpu.ops.fused_layer import (
+        LayerParams, fused_transformer_layer, largest_divisor,
+    )
+
+    assert largest_divisor(0, 8) == 1
+    assert largest_divisor(6, 8) == 6
+    assert largest_divisor(12, 8) == 6
+
+    x = jnp.zeros((2, 4, 8), jnp.float32)
+    params = jax.tree.map(
+        jnp.asarray,
+        LayerParams(
+            ln1_scale=np.ones(8, np.float32), ln1_bias=np.zeros(8, np.float32),
+            wqkv=np.zeros((8, 24), np.float32), wout=np.zeros((8, 8), np.float32),
+            bout=np.zeros(8, np.float32),
+            ln2_scale=np.ones(8, np.float32), ln2_bias=np.zeros(8, np.float32),
+            w1=np.zeros((8, 4), np.float32), b1=np.zeros(4, np.float32),
+            w2=np.zeros((4, 8), np.float32), b2=np.zeros(8, np.float32),
+        ),
+    )
+    with pytest.raises(ValueError, match="dropout_rate"):
+        fused_transformer_layer(
+            x, params, jnp.int32(0), 1, 8, dropout_rate=1.0, train=True,
+            interpret=True,
+        )
