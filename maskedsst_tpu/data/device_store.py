@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Dict, Iterator, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from maskedsst_tpu.parallel.mesh import replicate
@@ -37,6 +36,11 @@ class DeviceTileStore:
 
     def __init__(self, dataset, mesh, max_bytes: int = 8 * 1024**3):
         n = len(dataset)
+        if n == 0:
+            # a clear error instead of dataset[0]'s IndexError — and NOT a
+            # MemoryError: an empty dataset is a config problem, not a
+            # reason to fall back to host streaming
+            raise ValueError("DeviceTileStore: dataset is empty")
         first = dataset[0]
         fields = [k for k, v in first.items() if not isinstance(v, (str, bytes))]
         nbytes = sum(
@@ -52,8 +56,11 @@ class DeviceTileStore:
             vals = [np.asarray(dataset[i][k]) for i in range(n)]
             host[k] = np.stack(vals)
         sharding = replicate(mesh)
+        # device_put straight from numpy: jnp.asarray first would place the
+        # whole tile set on the default device and then copy it AGAIN to the
+        # replicated sharding — a transient 2x HBM spike at upload time
         self.arrays: Dict[str, jax.Array] = {
-            k: jax.device_put(jnp.asarray(v), sharding) for k, v in host.items()
+            k: jax.device_put(v, sharding) for k, v in host.items()
         }
         self.num_samples = n
         self.mesh = mesh
@@ -101,8 +108,10 @@ class IndexBatcher:
                 if self.drop_last:
                     return
                 if self.pad_to_batch:
-                    # pad with repeats flagged by negative sign so the step
-                    # can mask them (labels → ignored)
+                    # pad with -1 sentinels; CONSUMERS MUST MASK them (the
+                    # Finetuner's _gather_batch maps idx<0 to ignored
+                    # labels; a plain jnp.take would clamp -1 to sample 0
+                    # and silently train on duplicated rows)
                     pad = self.batch_size - len(idx)
                     idx = np.concatenate([idx, -np.ones(pad, idx.dtype)])
             yield idx.astype(np.int32)

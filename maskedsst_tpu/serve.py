@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Mapping, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from maskedsst_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
@@ -51,21 +50,21 @@ class Predictor:
         postprocess: Optional[Callable] = None,
     ):
         self.mesh = mesh if mesh is not None else get_mesh()
-        n_data = self.mesh.shape["data"]
+        n_data = self.mesh.shape.get("data", 1)
         assert batch_size % n_data == 0, (
             f"batch_size {batch_size} not divisible by data axis {n_data}"
         )
         # Pallas custom calls are opaque to GSPMD: a fused model built
         # without a mesh would silently all-gather every sharded batch onto
-        # each chip. Rebind the serving mesh so the kernel calls shard_map
-        # over the data axis (models/layers.py FusedTransformer docstring).
-        if (
-            n_data > 1
-            and getattr(model, "fused", False)
-            and hasattr(model, "mesh")
-            and model.mesh is None
-        ):
-            model = model.clone(mesh=self.mesh)
+        # each chip — and one bound to a STALE mesh (e.g. the training mesh
+        # of a finished run, or a multi-chip mesh on a single-chip server)
+        # would shard_map over devices this runtime doesn't serve with.
+        # Rebind whenever the bound mesh differs from the serving mesh
+        # (models/layers.py FusedTransformer docstring).
+        if getattr(model, "fused", False) and hasattr(model, "mesh"):
+            want = self.mesh if n_data > 1 else None
+            if model.mesh is not want and model.mesh != want:
+                model = model.clone(mesh=want)
         self.model = model
         self.batch_size = batch_size
         self._batch_shard = batch_sharding(self.mesh)
@@ -86,15 +85,26 @@ class Predictor:
         concatenation/class-axis indexing downstream still works)."""
         n = x.shape[0]
         outs = []
+        # pipeline: keep up to 3 chunks in flight so chunk i+1's host→device
+        # transfer overlaps chunk i's compute (JAX dispatch is async; the
+        # np.asarray fetch is the only sync point). Bounding the queue caps
+        # device residency at ~3 input chunks.
+        pending = []
         for start in range(0, n, self.batch_size):
             chunk = x[start : start + self.batch_size]
             real = chunk.shape[0]
             if real < self.batch_size:  # pad the tail to the compiled shape
                 pad = np.zeros((self.batch_size - real, *chunk.shape[1:]), chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
-            dev = jax.device_put(jnp.asarray(chunk), self._batch_shard)
-            out = np.asarray(self._fwd(self.variables, dev))  # host fetch = sync
-            outs.append(out[:real])
+            # device_put straight from numpy: jnp.asarray first would place
+            # the chunk on the default device and copy it a second time
+            dev = jax.device_put(np.ascontiguousarray(chunk), self._batch_shard)
+            pending.append((self._fwd(self.variables, dev), real))
+            if len(pending) > 2:
+                out, r = pending.pop(0)
+                outs.append(np.asarray(out)[:r])  # host fetch = sync
+        for out, r in pending:
+            outs.append(np.asarray(out)[:r])
         if outs:
             return np.concatenate(outs)
         spec = jax.eval_shape(

@@ -284,11 +284,9 @@ class Pretrainer:
         c = tiles.shape[1]
         (windows,) = window_tiles(tiles, s)
         n = windows.shape[0]
-        chunk = n
-        for cand in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-            if n % cand == 0 and cand <= 512:
-                chunk = cand
-                break
+        from maskedsst_tpu.ops.fused_layer import largest_divisor
+
+        chunk = largest_divisor(n, 512)  # keeps odd window counts vectorized
         windows = windows.reshape(n // chunk, chunk, c, s, s)
 
         def one(args):
@@ -371,6 +369,14 @@ class Pretrainer:
                 len(val_store) if val_store else 0, cfg.batch_size,
                 shuffle=False, drop_last=True,
             ) if val_store else []
+            if not cfg.get("skip_val", False) and val_store is None:
+                print(
+                    f"[pretrain] WARNING: val split ({len(val_ds)} tiles) is "
+                    f"smaller than batch_size ({cfg.batch_size}); no "
+                    "validation will run and ReduceLROnPlateau will never "
+                    "step (the reference's drop_last=True val loader is "
+                    "empty in this regime too, src/utils.py:127-130)"
+                )
         else:
             loader = DataLoader(
                 train_ds, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.get("seed", 5)
@@ -382,12 +388,19 @@ class Pretrainer:
         epochs = epochs if epochs is not None else cfg.epoch
         meter = Throughput(cfg.batch_size, num_chips=self.mesh.devices.size)
         meter.start()
-        step = 0
+        # continue counters after resume(): step/epoch/log axis keep their
+        # original origin instead of restarting at 0 (max_steps reads as a
+        # TOTAL step cap either way)
+        step = int(self.state.step)
+        steps_per_epoch = max(1, len(loader)) if hasattr(loader, "__len__") else None
+        start_epoch = step // steps_per_epoch if steps_per_epoch else 0
         # per-step losses, kept as device scalars until a logging boundary
         # (converting every step would serialize dispatch on tunneled
         # backends); only the trailing window is ever converted
         loss_window: list = []
         model_save_freq = cfg.model_save_freq
+        if start_epoch > 10 and model_save_freq == 1:
+            model_save_freq = 10  # the epoch-10 switch already fired pre-resume
         history = {"train_loss": [], "val_loss": []}
 
         def log_maybe(epoch, prev_step):
@@ -421,7 +434,7 @@ class Pretrainer:
                 )
             loss_window = [flat[-freq:]]
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             metrics = None  # guards empty loaders (train set < batch_size)
             if train_store is not None:
                 # scan steps_per_call steps per dispatch (full chunks only;
@@ -475,7 +488,11 @@ class Pretrainer:
                     if max_steps is not None and step >= max_steps:
                         break
             if metrics is not None:
-                history["train_loss"].append(float(metrics["loss"]))
+                # end-of-epoch marker: the LAST step's raw loss at the same
+                # step as the validation stats (reference pretrain.py:132)
+                last = float(jax.device_get(metrics["loss"]))
+                history["train_loss"].append(last)
+                tracker.log({"epoch": epoch, "loss": last}, step=step)
 
             if save_checkpoints and epoch % model_save_freq == 0:
                 save_checkpoint(

@@ -166,3 +166,47 @@ def test_exact_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     for oa, ob in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(s3.opt_state)):
         np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_fit_continues_counters_after_resume(tmp_path):
+    """fit() after resume() continues the step axis and treats max_steps as
+    a TOTAL cap: a run resumed at step 4 with max_steps=8 performs exactly
+    4 more steps and logs them at steps 5..8, not 1..4."""
+    from maskedsst_tpu.train.checkpoint import save_checkpoint
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    class Capture(Tracker):
+        def __init__(self):
+            super().__init__("test", use_wandb=False, quiet=True)
+            self.rows = []
+
+        def log(self, scalars, step=None):
+            self.rows.append((step, dict(scalars)))
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+    cfg.steps_per_call = 2
+    cfg.logging_freq = 2
+    cfg.skip_val = True
+
+    ds = SyntheticCubeDataset(num_tiles=64, n_bands=40, labeled=False)
+    tr = Pretrainer(cfg)
+    tr.fit(ds, epochs=10, max_steps=4, tracker=Capture(),
+           save_checkpoints=False, models_dir=str(tmp_path))
+    assert int(tr.state.step) == 4
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, tr.state, config=cfg)
+
+    tr2 = Pretrainer(cfg)
+    assert tr2.resume(path) == 4
+    cap = Capture()
+    tr2.fit(ds, epochs=10, max_steps=8, tracker=cap,
+            save_checkpoints=False, models_dir=str(tmp_path))
+    assert int(tr2.state.step) == 8
+    logged_steps = [s for s, m in cap.rows if "loss" in m and "lr" in m]
+    assert logged_steps and all(s > 4 for s in logged_steps), logged_steps

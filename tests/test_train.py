@@ -607,8 +607,14 @@ def test_pretrainer_logs_windowed_mean_loss(tmp_path):
     tracker = Capture()
     tr.fit(ds, epochs=1, max_steps=8, tracker=tracker, save_checkpoints=False,
            models_dir=str(tmp_path))
-    loss_rows = [(s, m["loss"]) for s, m in tracker.rows if "loss" in m]
+    # boundary rows carry lr/throughput; the end-of-epoch marker (raw last
+    # loss, reference pretrain.py:132) does not — only boundary rows are
+    # windowed means
+    loss_rows = [(s, m["loss"]) for s, m in tracker.rows if "loss" in m and "lr" in m]
     assert loss_rows, "no loss rows logged"
+    assert any(
+        "loss" in m and "lr" not in m for _, m in tracker.rows
+    ), "end-of-epoch loss marker missing"
     # losses descend over the window; a windowed mean at step 8 must exceed
     # the instantaneous step-8 loss early in training (loss drops fast), and
     # all logged values must be finite
@@ -626,7 +632,7 @@ def test_pretrainer_logs_windowed_mean_loss(tmp_path):
     t2 = Capture()
     tr2.fit(ds, epochs=1, max_steps=8, tracker=t2, save_checkpoints=False,
             models_dir=str(tmp_path))
-    per_step = {s: m["loss"] for s, m in t2.rows if "loss" in m}
+    per_step = {s: m["loss"] for s, m in t2.rows if "loss" in m and "lr" in m}
     for s, windowed in loss_rows:
         window = [per_step[t] for t in range(s - 3, s + 1) if t in per_step]
         if len(window) == 4:
