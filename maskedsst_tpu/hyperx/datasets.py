@@ -179,7 +179,10 @@ def get_dataset(
     if cfg.get("loader") == "dfc2018":
         img, gt, rgb_bands, ignored_labels, label_values, palette = dfc2018_loader(folder)
     else:
-        if cfg.get("download", True) and download and not os.path.isdir(folder):
+        if cfg.get("download", True) and download:
+            # gate per FILE, not per folder: an interrupted download must be
+            # resumable on the next run (reference checks each file,
+            # DeepHyperX/datasets.py:128-140)
             os.makedirs(folder, exist_ok=True)
             from urllib.request import urlretrieve
 
@@ -240,8 +243,12 @@ class HyperX:
                 if p < x < data.shape[0] - p and p < y < data.shape[1] - p
             ]
         )
-        self.labels = np.array([self.label[x, y] for x, y in self.indices])
+        # shuffle FIRST: self.labels must stay aligned with self.indices —
+        # _mixture_noise picks same-class pixels via nonzero(labels == value)
+        # and indexes self.indices with the result (the reference asserts
+        # this alignment, DeepHyperX/datasets.py:407)
         self._rng.shuffle(self.indices)
+        self.labels = np.array([self.label[x, y] for x, y in self.indices])
 
     def _flip(self, *arrays):
         horizontal = self._rng.random() > 0.5
@@ -265,6 +272,7 @@ class HyperX:
             if value not in self.ignored_labels:
                 l_indices = np.nonzero(self.labels == value)[0]
                 l_indice = self._rng.choice(l_indices)
+                assert self.labels[l_indice] == value  # reference datasets.py:407
                 x, y = self.indices[l_indice]
                 data2[idx] = self.data[x, y]
         return (alpha1 * data + alpha2 * data2) / (alpha1 + alpha2) + beta * noise

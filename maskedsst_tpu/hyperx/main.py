@@ -41,30 +41,51 @@ SVM_GRID_PARAMS = [
 ]
 
 
-def run_sklearn(name: str, img, gt, train_gt, test_gt, ignored):
+def run_sklearn(name: str, img, gt, train_gt, test_gt, ignored, class_balancing=False):
     """sklearn baseline paths (DeepHyperX/main.py:321-368): SVM, SVM_grid
-    (grid search over linear/poly/RBF kernels), SGD and nearest-neighbors."""
+    (grid search over linear/poly/RBF kernels), SGD (standard-scaled) and
+    nearest-neighbors (grid search over n_neighbors). ``class_weight`` is
+    balanced only under --class_balancing, matching the reference."""
     from sklearn import model_selection, neighbors, svm
     from sklearn.linear_model import SGDClassifier
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.utils import shuffle as sk_shuffle
 
-    X_train = img[train_gt > 0]
-    y_train = train_gt[train_gt > 0]
+    mask = train_gt > 0
+    for l in ignored:
+        mask &= train_gt != l
+    X_train = img[mask]
+    y_train = train_gt[mask]
+    class_weight = "balanced" if class_balancing else None
+    X_pred = img.reshape(-1, img.shape[-1])
     if name == "SVM":
-        clf = svm.SVC(class_weight="balanced")
+        clf = svm.SVC(class_weight=class_weight)
     elif name == "SVM_grid":
         clf = model_selection.GridSearchCV(
-            svm.SVC(class_weight="balanced"), SVM_GRID_PARAMS, verbose=5, n_jobs=4
+            svm.SVC(class_weight=class_weight), SVM_GRID_PARAMS, verbose=5, n_jobs=4
         )
     elif name == "SGD":
-        clf = SGDClassifier(class_weight="balanced", learning_rate="optimal", tol=1e-3, average=10)
+        # the reference standard-scales SGD features (main.py:346-348);
+        # SGD is scale-sensitive, unscaled reflectances diverge badly
+        X_train, y_train = sk_shuffle(X_train, y_train)
+        scaler = StandardScaler()
+        X_train = scaler.fit_transform(X_train)
+        X_pred = scaler.transform(X_pred)
+        clf = SGDClassifier(
+            class_weight=class_weight, learning_rate="optimal", tol=1e-3, average=10
+        )
     elif name == "nearest":
-        clf = neighbors.KNeighborsClassifier(weights="distance")
+        X_train, y_train = sk_shuffle(X_train, y_train)
+        clf = model_selection.GridSearchCV(
+            neighbors.KNeighborsClassifier(weights="distance"),
+            {"n_neighbors": [1, 3, 5, 10, 20]}, verbose=5, n_jobs=4,
+        )
     else:
         raise ValueError(name)
     clf.fit(X_train, y_train)
     if name == "SVM_grid":
         print(f"SVM best parameters: {clf.best_params_}")
-    return clf.predict(img.reshape(-1, img.shape[-1])).reshape(img.shape[:2])
+    return clf.predict(X_pred).reshape(img.shape[:2])
 
 
 def main() -> None:
@@ -173,7 +194,10 @@ def main() -> None:
         )
 
         if args.model in ("SVM", "SVM_grid", "SGD", "nearest"):
-            prediction = run_sklearn(args.model, img, gt, train_gt, test_gt, ignored_labels)
+            prediction = run_sklearn(
+                args.model, img, gt, train_gt, test_gt, ignored_labels,
+                class_balancing=args.class_balancing,
+            )
         else:
             from maskedsst_tpu.hyperx.training import HyperXTrainer
             from maskedsst_tpu.models.zoo import get_model

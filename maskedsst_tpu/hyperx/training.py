@@ -28,7 +28,6 @@ from maskedsst_tpu.hyperx.utils import grouper, sliding_window
 from maskedsst_tpu.train.losses import cross_entropy
 from maskedsst_tpu.train.optim import (
     build_optimizer,
-    get_learning_rates,
     MultiStepLR,
     ReduceLROnPlateau,
 )

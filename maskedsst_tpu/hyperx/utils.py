@@ -74,7 +74,13 @@ def metrics(
 ) -> Dict:
     """Confusion matrix, overall accuracy (percent), per-class F1, Cohen's
     kappa — same keys and conventions as the reference
-    (DeepHyperX/utils.py:331-385)."""
+    (DeepHyperX/utils.py:331-385).
+
+    Deliberately separate from ``train.metrics.classification_report``:
+    that twin is jit-traceable and clamps zero denominators (maximum/1e-12)
+    so it can run inside compiled eval steps, while this host-side version
+    keeps the reference's exact conventions (0.0 on empty/degenerate
+    denominators). Keep their formulas in sync when editing either."""
     ignored_mask = np.zeros(target.shape[:2], dtype=bool)
     for l in ignored_labels:
         ignored_mask[target == l] = True
@@ -187,7 +193,9 @@ def sample_gt(gt: np.ndarray, train_size: float, mode: str = "random"):
                 continue
             pts = list(zip(*np.nonzero(gt == c)))
             rng.shuffle(pts)
-            k = int(train_size)
+            # the reference's per-class train_test_split accepts fractions
+            # too (utils.py:476); only counts > 1 are absolute
+            k = int(len(pts) * train_size) if train_size <= 1 else int(train_size)
             train_idx += pts[:k]
             test_idx += pts[k:]
         train_idx = tuple(zip(*train_idx))

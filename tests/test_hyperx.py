@@ -412,3 +412,45 @@ def test_save_restore_roundtrip_includes_batch_stats(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree_util.tree_leaves(fresh.batch_stats), trained_means):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_gt_fixed_supports_fractions():
+    """mode='fixed' must accept a fractional train_size like the reference's
+    per-class train_test_split (DeepHyperX/utils.py:476) — int(0.1) == 0
+    used to yield an empty train split."""
+    from maskedsst_tpu.hyperx.utils import sample_gt
+
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 4, (40, 40))
+    np.random.seed(0)
+    train_gt, test_gt = sample_gt(gt, 0.5, mode="fixed")
+    n_labeled = int(np.count_nonzero(gt))
+    n_train = int(np.count_nonzero(train_gt))
+    assert n_train > 0
+    assert abs(n_train - 0.5 * n_labeled) / n_labeled < 0.1
+    # absolute counts (>1) still mean per-class counts
+    np.random.seed(0)
+    train_abs, _ = sample_gt(gt, 5, mode="fixed")
+    counts = [np.count_nonzero(train_abs == c) for c in (1, 2, 3)]
+    assert counts == [5, 5, 5]
+
+
+def test_hyperx_mixture_labels_aligned():
+    """self.labels must stay aligned with self.indices after the shuffle:
+    _mixture_noise picks same-class pixels via labels == value and indexes
+    self.indices with the result (reference asserts this,
+    DeepHyperX/datasets.py:407)."""
+    from maskedsst_tpu.hyperx.datasets import HyperX
+
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((20, 20, 8)).astype(np.float32)
+    gt = rng.integers(0, 3, (20, 20))
+    ds = HyperX(
+        img, gt, patch_size=5, ignored_labels=[0], center_pixel=True,
+        supervision="full", mixture_augmentation=True,
+    )
+    for i, (x, y) in enumerate(ds.indices):
+        assert ds.labels[i] == ds.label[x, y]
+    # the augmentation path runs without tripping the alignment assert
+    for i in range(min(10, len(ds))):
+        ds[i]
