@@ -51,10 +51,15 @@ class DeviceTileStore:
                 f"dataset needs {nbytes/1e9:.1f} GB > budget {max_bytes/1e9:.1f} GB; "
                 "stream from host instead"
             )
-        host: Dict[str, np.ndarray] = {}
-        for k in fields:
-            vals = [np.asarray(dataset[i][k]) for i in range(n)]
-            host[k] = np.stack(vals)
+        # ONE pass over the dataset collecting every field: per-field passes
+        # would re-read (and re-decode/standardize) each sample len(fields)
+        # times — 3x the rasterio I/O for {idx, img, label} tiles
+        host: Dict[str, np.ndarray] = {k: [] for k in fields}
+        for i in range(n):
+            sample = dataset[i]
+            for k in fields:
+                host[k].append(np.asarray(sample[k]))
+        host = {k: np.stack(v) for k, v in host.items()}
         sharding = replicate(mesh)
         # device_put straight from numpy: jnp.asarray first would place the
         # whole tile set on the default device and then copy it AGAIN to the

@@ -95,6 +95,10 @@ class EnMAPWorldCoverDataset:
         self.patch_size = patch_size
         self.patches: list = []
         self.patch_labels: list = []
+        # dispatch on the MODE, not on patch-list truthiness: zero kept
+        # patches must stay a (loud) empty dataset, not silently fall back
+        # to full-tile mode (the reference's len(patches)==0 is visible)
+        self.pixel_mode = pixel_location_file is not None
         if pixel_location_file is not None:
             import pickle
             import random as _random
@@ -109,12 +113,18 @@ class EnMAPWorldCoverDataset:
             prev_file, img = "", None
             for cls, locs in pixel_locations.items():
                 kept = []
-                while len(kept) != num_samples_per_class and locs[patch_offset:]:
+                while len(kept) != num_samples_per_class and len(locs) > patch_offset:
                     tup = locs.pop(patch_offset)
                     x, y = tup[1]
                     # skip border pixels so patches stay inside the tile
                     if patch_size < x < 64 - patch_size and patch_size < y < 64 - patch_size:
                         kept.append(tup)
+                if len(kept) < num_samples_per_class:
+                    print(
+                        f"[enmap] WARNING: class {cls} has only {len(kept)} "
+                        f"usable pixel locations (< {num_samples_per_class}) "
+                        "— the sampled set is class-imbalanced"
+                    )
                 for tif, (x, y) in kept:
                     if tif != prev_file:
                         img = self._load_img(tif)
@@ -129,7 +139,7 @@ class EnMAPWorldCoverDataset:
                 self._cache[i] = self._load(i)
 
     def __len__(self) -> int:
-        if self.patches:
+        if self.pixel_mode:
             return len(self.patches)
         return len(self.enmap_files)
 
@@ -160,7 +170,7 @@ class EnMAPWorldCoverDataset:
         return sample
 
     def __getitem__(self, idx: int) -> dict:
-        if self.patches:
+        if self.pixel_mode:
             img = self.patches[idx]
             if self.clip is not None:
                 img = np.clip(img, self.clip[0], self.clip[1])

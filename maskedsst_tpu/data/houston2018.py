@@ -169,8 +169,12 @@ class Houston2018Dataset:
                 "label": np.int64(self.label[x, y]),
             }
         # random patch mode (reference :319-329); bounded retries for
-        # drop_unlabeled instead of unbounded recursion
-        for _ in range(100):
+        # drop_unlabeled instead of the reference's unbounded recursion.
+        # 10k draws make a spurious failure essentially impossible for any
+        # feasible density ((1-q)^10000 ~ 0 even at q=0.1%), while a truly
+        # label-free scene surfaces as an error instead of silently serving
+        # the same (possibly unlabeled) corner patch forever.
+        for _ in range(10_000):
             x = int(self._rng.integers(0, self.img.shape[1] - p))
             y = int(self._rng.integers(0, self.img.shape[2] - p))
             label = self.label[x : x + p, y : y + p]
@@ -179,10 +183,10 @@ class Houston2018Dataset:
                     "img": self.img[:, x : x + p, y : y + p].astype(np.float32),
                     "label": label.astype(np.int64),
                 }
-        return {
-            "img": self.img[:, :p, :p].astype(np.float32),
-            "label": self.label[:p, :p].astype(np.int64),
-        }
+        raise RuntimeError(
+            "houston2018 random-patch mode: no labeled patch found in 10000 "
+            "draws; the scene is too sparsely labeled for drop_unlabeled=True"
+        )
 
 
 def _patchify(img: np.ndarray, label: np.ndarray, p: int):

@@ -27,11 +27,18 @@ def torch_exact_permutation(n: int, seed: int) -> np.ndarray:
     unavailable (membership then differs from reference runs)."""
     try:
         import torch
+    except Exception as exc:  # noqa: BLE001 — a broken install can raise anything
+        import warnings
 
-        gen = torch.Generator().manual_seed(seed)
-        return torch.randperm(n, generator=gen).numpy()
-    except Exception:
+        warnings.warn(
+            f"torch unavailable ({exc!r}): falling back to a numpy "
+            "permutation — train/val MEMBERSHIP now differs from reference "
+            "runs and from machines where torch imports",
+            stacklevel=2,
+        )
         return np.random.default_rng(seed).permutation(n)
+    gen = torch.Generator().manual_seed(seed)
+    return torch.randperm(n, generator=gen).numpy()
 
 
 def split_dataset(

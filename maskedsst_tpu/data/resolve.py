@@ -32,7 +32,14 @@ def get_dataset(config: Config, *, supervised: bool, synthetic: bool = False):
     if not synthetic and train_path.endswith(".msts") and os.path.exists(train_path):
         from maskedsst_tpu.native import PackedTileStore
 
-        return PackedTileStore(train_path)
+        store = PackedTileStore(train_path)
+        if supervised and not store.has_labels:
+            # fail at resolution, not with a KeyError deep in the train loop
+            raise ValueError(
+                f"{train_path} is an UNLABELED tile store (packed from a "
+                "pretraining dataset); the supervised path needs labels"
+            )
+        return store
 
     have_real = (
         not synthetic

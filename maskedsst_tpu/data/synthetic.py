@@ -32,6 +32,7 @@ class SyntheticCubeDataset:
         self.tile_size = tile_size
         self.n_classes = n_classes
         self.labeled = labeled
+        self.ignored_fraction = ignored_fraction
         rng = np.random.default_rng(seed)
         # per-class spectral signatures: smooth curves over the band axis
         freqs = rng.uniform(0.5, 4.0, size=(n_classes, 3))
@@ -53,11 +54,11 @@ class SyntheticCubeDataset:
         # tiles are deterministic in idx — cache so epochs after the first
         # cost no host compute (a 200-band 64x64 tile is ~3.3 MB)
         if idx in self._cache:
-            return self._cache[idx]
+            return dict(self._cache[idx])  # shallow copy: consumers may mutate
         sample = self._generate(idx)
         if len(self._cache) * self.n_bands * self.tile_size**2 * 4 < 2 * 1024**3:
             self._cache[idx] = sample
-        return sample
+        return dict(sample)
 
     def _generate(self, idx: int) -> dict:
         rng = np.random.default_rng(self._seed * 100003 + idx)
@@ -74,7 +75,7 @@ class SyntheticCubeDataset:
         sample = {"img": img.astype(np.float32)}
         if self.labeled:
             lab = label.astype(np.int64)
-            mask = rng.random(size=lab.shape) < 0.05
+            mask = rng.random(size=lab.shape) < self.ignored_fraction
             lab[mask] = -1  # ignored pixels like real tiles
             sample["label"] = lab
         return sample

@@ -140,6 +140,19 @@ def import_vit_spatial_spectral(sd: Mapping[str, Any], model) -> Dict[str, Any]:
         if f"mlp_head.{linear_idx}.weight" in sd:
             params["head_linear"] = _linear(sd, f"mlp_head.{linear_idx}")
             break
+    else:
+        if any(k.startswith("mlp_head.") for k in sd):
+            # an mlp_head exists but its Linear sits at an unexpected index:
+            # silently omitting head_linear would only surface as a flax
+            # missing-param error far from the import site
+            import warnings
+
+            head_keys = sorted(k for k in sd if k.startswith("mlp_head."))
+            warnings.warn(
+                f"checkpoint has an mlp_head ({head_keys}) but no Linear at "
+                "the expected indices; head_linear was NOT imported",
+                stacklevel=2,
+            )
     return params
 
 
