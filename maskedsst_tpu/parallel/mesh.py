@@ -94,7 +94,9 @@ def initialize_multihost(**kwargs) -> Mesh:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as exc:  # already initialized
-        if "already" not in str(exc).lower():
+        msg = str(exc).lower()
+        # jax 0.9 phrases double-init as "should only be called once"
+        if "already" not in msg and "only be called once" not in msg:
             raise
     return get_mesh()
 

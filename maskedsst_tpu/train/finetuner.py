@@ -52,11 +52,23 @@ def get_val_epochs(config: Config, steps_per_epoch: int) -> list:
     return sorted(set(int(e) for e in np.linspace(0, total_epochs, config.epoch)))
 
 
+def make_head_label_fn(method_name=None):
+    """Path predicate marking classifier-head params, mirroring the
+    reference's name split (finetune.py:103): ``classifier_name = 'fc'``
+    ONLY for the li 3D-CNN (its classifier layers are fc1/fc2),
+    ``mlp_head`` for the ViTs. A blanket 'fc' prefix would also catch the
+    ViT transformer's feed-forward fc1/fc2 layers — linear_eval would then
+    silently train most of the backbone, and split LRs would train every
+    FF layer at the head LR."""
+    if method_name == "li":
+        return lambda path: any(str(k).startswith("fc") for k in path)
+    return lambda path: any(str(k).startswith(("head_", "mlp_head")) for k in path)
+
+
 def head_label_fn(path: tuple) -> bool:
-    """Marks classifier-head params (ViT heads and the zoo's ``fc`` layers);
-    mirrors the reference's name-based split on ``mlp_head`` / ``fc``
-    (finetune.py:103,121-126)."""
-    return any(str(k).startswith(("head_", "mlp_head", "fc")) for k in path)
+    """Default (ViT) head predicate; kept for callers that don't thread a
+    method name. See :func:`make_head_label_fn`."""
+    return make_head_label_fn(None)(path)
 
 
 class Finetuner:
@@ -85,7 +97,7 @@ class Finetuner:
             learning_rate=config.lr,
             weight_decay=config.weight_decay,
             head_lr=config.get("mlp_head_lr"),
-            head_label_fn=head_label_fn,
+            head_label_fn=make_head_label_fn(config.get("method_name")),
             linear_eval=bool(config.get("linear_eval", False)),
         )
         if optimizer_override:

@@ -44,13 +44,15 @@ def _adam_l2_core(learning_rate: float, weight_decay: float) -> optax.GradientTr
 def flatten_transform(tx: optax.GradientTransformation) -> optax.GradientTransformation:
     """Run ``tx`` over one ravelled parameter vector instead of per-leaf.
 
-    Leaf-wise optax updates issue ~6 small HLO ops per parameter leaf; at the
-    reference model's ~50 leaves that is hundreds of tiny dispatches costing
-    ~1.8 ms/step on the measured backend — more than the optimizer math. One
-    flat [N] leaf makes each transform a single fused pass. Hyperparameter
-    injection still works (state structure is unchanged); per-group
-    transforms (multi_transform) must NOT be wrapped — labels would collapse
-    to the single flat leaf.
+    NOTE: device-time profiling showed flat and per-leaf are IDENTICAL in
+    step time under jit (33.83 vs 33.85 ms/step measured on v5e — XLA fuses
+    the per-leaf ops; the old "~1.8 ms/step per-leaf cost" was a
+    wall-clock-era artifact, see CLAUDE.md). flatten is kept only for
+    CHECKPOINT-STATE stability: the optimizer state is two [N] vectors
+    regardless of param-tree refactors. Hyperparameter injection still
+    works (state structure is unchanged); per-group transforms
+    (multi_transform) must NOT be wrapped — labels would collapse to the
+    single flat leaf.
 
     Compatibility: the optimizer-state pytree stores flat [N] moment vectors,
     so full-state checkpoints written WITHOUT flatten cannot restore into a
@@ -111,7 +113,14 @@ def build_optimizer(
             def adagrad(learning_rate, wd):
                 return optax.chain(
                     optax.add_decayed_weights(wd),
-                    optax.adagrad(learning_rate),
+                    # torch Adagrad defaults (the 'he' zoo recipe):
+                    # accumulator starts at 0 and eps 1e-10; optax's own
+                    # defaults (0.1 / 1e-7) shrink every early update
+                    optax.adagrad(
+                        learning_rate,
+                        initial_accumulator_value=0.0,
+                        eps=1e-10,
+                    ),
                 )
             return optax.inject_hyperparams(adagrad)(lr, weight_decay)
         if name == "Adadelta":
@@ -271,7 +280,22 @@ class CosineAnnealingLR:
         ) / 2
 
     def update(self, opt_state):
-        return set_learning_rate(opt_state, self.step(), scale=False)
+        # scale RELATIVE to the previous epoch's value so grouped
+        # optimizers (head_lr != lr) keep their per-group ratio — torch
+        # anneals each param group from its own base_lr; an absolute
+        # overwrite would collapse all groups to one value
+        prev = self.current()
+        new = self.step()
+        if prev <= 0.0:
+            return set_learning_rate(opt_state, new, scale=False)
+        return set_learning_rate(opt_state, new / prev, scale=True)
+
+    def current(self) -> float:
+        import math
+
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * self.epoch / self.t_max)
+        ) / 2
 
     def state_dict(self) -> dict:
         return {"epoch": self.epoch}

@@ -663,3 +663,47 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
         assert enable_persistent_cache() == str(tmp_path / "env")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_linear_eval_freezes_vit_backbone(tmp_path):
+    """linear_eval must freeze the WHOLE backbone of the ViT: the head
+    predicate is 'mlp_head'/'head_*' only (reference finetune.py:103) —
+    a blanket 'fc' prefix would catch the transformer's ff fc1/fc2 layers
+    and silently train them."""
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    cfg.n_bands, cfg.transformer_dim = 40, 24
+    cfg.transformer_depth, cfg.transformer_n_heads = 2, 2
+    cfg.transformer_mlp_dim = 16
+    cfg.spectral_pos = [0, 1, 2, 3]
+    cfg.transformer_dropout = 0.0
+    cfg.transformer_emb_dropout = 0.0
+    cfg.batch_size = 8
+    cfg.linear_eval = True
+
+    model, kw = build_finetune_model(cfg)
+    tr = Finetuner(cfg, model, **kw)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((8, 40, 64, 64)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, cfg.n_classes, (8, 32, 32)), jnp.int32)
+
+    before = jax.device_get(tr.state.params)
+    state, _ = tr._train_step(tr.state, img, label)
+    after = jax.device_get(state.params)
+
+    import jax.tree_util as jtu
+
+    changed, frozen = [], []
+    for (ka, a), (_, b) in zip(
+        jtu.tree_flatten_with_path(before)[0], jtu.tree_flatten_with_path(after)[0]
+    ):
+        key = jtu.keystr(ka)
+        (changed if np.any(np.asarray(a) != np.asarray(b)) else frozen).append(key)
+    assert any("head_linear" in k for k in changed), changed
+    bad = [k for k in changed if "head_" not in k]
+    assert not bad, f"linear_eval trained backbone params: {bad}"
