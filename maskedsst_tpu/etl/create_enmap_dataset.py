@@ -70,6 +70,12 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--enmap-path", required=True)
     parser.add_argument("--output-dir", required=True, help=".../train directory")
+    parser.add_argument(
+        "--test-output-dir", default=None,
+        help="directory for products listed in --testfiles; defaults to the "
+        "output dir with its last 'train' path component replaced by 'test' "
+        "(<output-dir>_test when no such component exists)",
+    )
     parser.add_argument("--testfiles", default=None, help="manifest of held-out product names")
     parser.add_argument("--tile-size", type=int, default=64)
     parser.add_argument("--upscale", type=float, default=1.0)
@@ -90,11 +96,25 @@ def main() -> None:
         with open(args.testfiles) as f:
             testfiles = {line.strip() for line in f if line.strip()}
 
+    # explicit test root: the reference's outdir.replace('train', 'test')
+    # silently routed test products into the TRAIN split when the path had
+    # no 'train' component, and rewrote every occurrence when it had several
+    test_root = args.test_output_dir
+    if test_root is None:
+        parts = os.path.normpath(args.output_dir).split(os.sep)
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i] == "train":
+                parts[i] = "test"
+                test_root = os.sep.join(parts)
+                break
+        else:
+            test_root = os.path.normpath(args.output_dir) + "_test"
+
     for product in products:
         filename = os.path.basename(product).split(".TIF")[0]
         outdir = os.path.join(args.output_dir, filename)
         if filename in testfiles:
-            outdir = outdir.replace("train", "test")
+            outdir = os.path.join(test_root, filename)
         if os.path.exists(outdir):
             print(f"{filename}: already processed, skipping")
             continue

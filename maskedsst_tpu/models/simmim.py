@@ -227,16 +227,13 @@ class SimMIMSpatialSpectral(nn.Module):
         # --- tokenize → embed → +pos → mask-token replacement ---------------
         if fused_head:
             # production path: the whole tokenization head runs as one
-            # Pallas kernel per batch block (ops/fused_embed.py)
-            patches = enc.to_patch_embedding.to_patch_pn(img)
-            pos = enc.pos_embedding_for(num_tokens)
-            tokens = enc.to_patch_embedding.embed_mask_fused(
-                patches,
-                pos.reshape(n_blocks, n_spatial, enc.dim),
-                self.mask_token,
-                bool_mask.reshape(b, n_blocks, n_spatial).astype(jnp.float32),
-                mesh=getattr(enc, "mesh", None),
-            ).reshape(b, num_tokens, enc.dim)
+            # Pallas kernel per batch block (the encoder's tokenize_fused —
+            # the one call site of the kernel's layout contract)
+            tokens, patches = enc.tokenize_fused(
+                img,
+                mask=bool_mask.reshape(b, n_blocks, n_spatial).astype(jnp.float32),
+                mask_token=self.mask_token,
+            )
         else:
             if self._is_v1:
                 flat = enc.to_patch(img)  # [B, g*n, p] raw (V1 LN in embed)

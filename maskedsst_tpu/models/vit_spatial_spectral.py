@@ -254,6 +254,30 @@ class ViTSpatialSpectral(nn.Module):
         x = jnp.swapaxes(x, 1, 2)  # [B, c, n, d]
         return x.reshape(b, c * n, d)
 
+    def tokenize_fused(self, img, mask=None, mask_token=None):
+        """Fused tokenization head (ops/fused_embed.py): to_patch_pn →
+        pre-LN → blockwise embed → post-LN → +pos → mask-token replacement,
+        one Pallas kernel per batch block. The single call site for the
+        kernel's layout contract ([B, g, p, n] patches, pos [g, n, d]) —
+        shared by the classifier forward (zero mask/mask-token: the select
+        reduces to the identity) and SimMIM (real mask + learned token).
+
+        Returns ``(tokens [B, g*n, d], patches [B, g, p, n])`` — SimMIM
+        consumes the raw patches as its reconstruction targets."""
+        b = img.shape[0]
+        c = self.num_spectral_patches
+        n = self.num_spatial_patches
+        patches = self.to_patch_embedding.to_patch_pn(img)
+        pos = self.pos_embedding_for(c * n)
+        tokens = self.to_patch_embedding.embed_mask_fused(
+            patches,
+            pos.reshape(c, n, self.dim),
+            jnp.zeros((self.dim,), jnp.float32) if mask_token is None else mask_token,
+            jnp.zeros((b, c, n), jnp.float32) if mask is None else mask,
+            mesh=self.mesh,
+        ).reshape(b, c * n, self.dim)
+        return tokens, patches
+
     def forward_features(
         self, img, *, deterministic: bool = True, spectral_layout_out: bool = False
     ) -> jnp.ndarray:
@@ -274,18 +298,7 @@ class ViTSpatialSpectral(nn.Module):
             and self.blockwise_patch_embed
             and (deterministic or self.emb_dropout == 0.0)
         ):
-            b = img.shape[0]
-            c = self.num_spectral_patches
-            n = self.num_spatial_patches
-            patches = self.to_patch_embedding.to_patch_pn(img)
-            pos = self.pos_embedding_for(c * n)
-            tokens = self.to_patch_embedding.embed_mask_fused(
-                patches,
-                pos.reshape(c, n, self.dim),
-                jnp.zeros((self.dim,), jnp.float32),
-                jnp.zeros((b, c, n), jnp.float32),
-                mesh=self.mesh,
-            ).reshape(b, c * n, self.dim)
+            tokens, _ = self.tokenize_fused(img)
             return self.transformer_forward(
                 tokens,
                 deterministic=deterministic,

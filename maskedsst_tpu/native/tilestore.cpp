@@ -16,7 +16,7 @@
 //   height  u32
 //   width   u32
 //   flags   u32               bit0: labels present
-//   reserved u32 x 2
+//   reserved u32               (header is 8 u32 fields = 32 bytes total)
 //   data    f32[n_tiles, bands, height, width]
 //   labels  i32[n_tiles, height, width]        (if flags & 1)
 //

@@ -56,6 +56,25 @@ class MaskGenerator:
         # spatial grid side length in model-patch units
         self.grid_size = input_size // model_patch_size
 
+    # value-based identity: batch_masks jits with static self, and
+    # SimMIMSpatialSpectral.setup builds a FRESH generator per apply — with
+    # default identity hashing every eager apply would retrace (and remote-
+    # compile, ~0.4 s each on the axon backend) and pin a cache entry per
+    # instance
+    def _key(self):
+        return (
+            self.input_size,
+            self.mask_patch_size,
+            self.model_patch_size,
+            self.mask_ratio,
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, MaskGenerator) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
     def single(self, key: jax.Array) -> jnp.ndarray:
         """One spatial mask [grid, grid] (bool): mask_count random cells
         upscaled by ``scale`` (reference __call__, :362-370)."""
