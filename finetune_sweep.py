@@ -41,7 +41,12 @@ def main() -> None:
     random.seed(SEED)
     np.random.seed(SEED)
 
-    from maskedsst_tpu.config import Config, get_finetune_config, verify_sweep_params
+    from maskedsst_tpu.config import (
+        Config,
+        get_finetune_config,
+        rederive_finetune_config,
+        verify_sweep_params,
+    )
     from maskedsst_tpu.data.pipeline import split_dataset
     from maskedsst_tpu.data.resolve import get_dataset
     from maskedsst_tpu.train.factory import build_finetune_model
@@ -68,6 +73,10 @@ def main() -> None:
     coerced = verify_sweep_params(config.to_dict())
     for key, val in coerced.items():
         setattr(config, key, val)
+    # re-derive spectral_pos/patch_sub AFTER the overrides, like the
+    # reference sweep config does (src/utils.py:381-388) — sweeping
+    # band_patch_size/pixelwise must not leave stale derived fields
+    rederive_finetune_config(config)
     config.run_id = tracker.run_id
 
     from maskedsst_tpu.parallel.mesh import get_mesh

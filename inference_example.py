@@ -81,13 +81,22 @@ def main() -> None:
         tile = img.shape[-1]
         k = tile // size
         pred_map = np.full_like(label, -1)
-        # sliding window with stride == window (notebook cells 11-13)
-        for x in range(0, k * size, size):
-            for y in range(0, k * size, size):
-                window = jnp.asarray(img[None, :, x : x + size, y : y + size])
-                pred = np.asarray(predict(params, window))[0]
+        # sliding window with stride == window (notebook cells 11-13) — all
+        # k*k windows in ONE dispatch: per-window dispatches pay the fixed
+        # ~27 ms host↔device round trip each (CLAUDE.md)
+        xys = [(x, y) for x in range(0, k * size, size) for y in range(0, k * size, size)]
+        windows = np.stack([img[:, x : x + size, y : y + size] for x, y in xys])
+        preds = np.asarray(predict(params, jnp.asarray(windows)))
+        for (x, y), pred in zip(xys, preds):
+            if pred.ndim == 0:
+                # pixelwise head: one class per window → its center pixel
+                pred_map[x + size // 2, y + size // 2] = pred
+            else:
                 pred_map[x : x + size, y : y + size] = pred
-        valid = label != config.ignored_label
+        # score only covered pixels (patch_sub shrinks the window so the
+        # last row/col of the tile — and, pixelwise, all non-center pixels
+        # — are never predicted; counting them would deflate accuracy)
+        valid = (label != config.ignored_label) & (pred_map >= 0)
         acc = float((pred_map[valid] == label[valid]).mean()) if valid.any() else float("nan")
         accs.append(acc)
         print(f"tile {idx}: accuracy {acc:.4f}")

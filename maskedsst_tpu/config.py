@@ -117,6 +117,22 @@ def get_finetune_config(
     return Config(hyper)
 
 
+def rederive_finetune_config(config: Config) -> Config:
+    """Recompute the DERIVED finetune fields (``spectral_pos``,
+    ``patch_sub``, the li pixelwise invariant) after sweep/CLI overrides —
+    the reference re-derives spectral_pos after overlaying ``wandb.config``
+    (src/utils.py:381-388); without this, sweeping e.g. band_patch_size
+    leaves a stale spectral_pos length."""
+    if config.method_name == "li":
+        assert config.pixelwise, "the li baseline predicts a single center pixel"
+    elif config.method_name == "ViTSpatialSpectral":
+        config.spectral_pos = get_spectral_pos(
+            config.dataset, config.n_bands, config.band_patch_size
+        )
+    config.patch_sub = 1 if (config.pixelwise and config.image_size % 2 == 0) else 0
+    return config
+
+
 def verify_sweep_params(hyperparams: Dict[str, Any]) -> Dict[str, Any]:
     """Coerce string booleans coming from a sweep controller
     (reference ``verify_sweep_params``, src/utils.py:222-273)."""

@@ -33,7 +33,15 @@ class Tracker:
         self._wandb = None
         self.run_id = f"local-{int(time.time())}"
         if use_wandb is None:
-            use_wandb = os.environ.get("WANDB_MODE", "disabled") not in ("disabled", "offline")
+            # a `wandb agent` worker sets sweep/run IDs but NOT WANDB_MODE —
+            # without this, sweep trials would silently train yaml defaults
+            # (wandb.config overrides live behind self._wandb)
+            agent_driven = bool(
+                os.environ.get("WANDB_SWEEP_ID") or os.environ.get("WANDB_RUN_ID")
+            )
+            use_wandb = agent_driven or os.environ.get(
+                "WANDB_MODE", "disabled"
+            ) not in ("disabled", "offline")
         if use_wandb:
             try:
                 import wandb

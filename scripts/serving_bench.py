@@ -65,11 +65,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     results = []
+    # ONE init outside the loop: params don't depend on the batch dim, and
+    # re-initing per batch size re-traces (and remote-compiles) the full
+    # init forward at each shape
+    variables = None
     for bs in (int(b) for b in args.batches.split(",")):
         x = jnp.asarray(rng.standard_normal((bs, config.n_bands, 8, 8)), jnp.bfloat16)
-        variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
-            jax.random.PRNGKey(0), x
-        )
+        if variables is None:
+            variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
+                jax.random.PRNGKey(0), x
+            )
 
         @jax.jit
         def serve(x):

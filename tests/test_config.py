@@ -110,3 +110,22 @@ def test_config_object():
     d = c.copy()
     d.a = 9
     assert c.a == 1
+
+
+def test_rederive_finetune_config_after_overrides():
+    """Sweep/CLI overrides of band_patch_size (or pixelwise) must refresh
+    the DERIVED fields, like the reference's post-wandb.config re-derivation
+    (src/utils.py:381-388)."""
+    from maskedsst_tpu.config import get_finetune_config, rederive_finetune_config
+
+    cfg = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    old_len = len(cfg.spectral_pos)
+    cfg.band_patch_size = cfg.band_patch_size * 2
+    rederive_finetune_config(cfg)
+    assert len(cfg.spectral_pos) == cfg.n_bands // cfg.band_patch_size != old_len
+
+    cfg.pixelwise = True
+    rederive_finetune_config(cfg)
+    assert cfg.patch_sub == (1 if cfg.image_size % 2 == 0 else 0)
