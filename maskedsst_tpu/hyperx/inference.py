@@ -36,10 +36,22 @@ def main() -> None:
 
         img = open_file(args.image)
         if isinstance(img, dict):
-            assert args.mat_key, "--mat-key required for .mat scenes"
+            if not args.mat_key:
+                parser.error("--mat-key is required for .mat scenes")
             img = img[args.mat_key]
     img = np.asarray(img, dtype=np.float32)
-    img = (img - img.min()) / (img.max() - img.min())
+    # match the training pipeline: zero NaNs BEFORE min-max normalization
+    # (datasets.get_dataset does the same; raw NaNs would poison min/max and
+    # turn the whole scene NaN), and guard constant scenes
+    nan_mask = np.isnan(img)
+    if nan_mask.any():
+        print(
+            f"warning: {int(nan_mask.sum())} NaN values in the scene; zeroed "
+            "like the training pipeline"
+        )
+        img[nan_mask] = 0.0
+    span = img.max() - img.min()
+    img = (img - img.min()) / (span if span > 0 else 1.0)
 
     from maskedsst_tpu.hyperx.training import HyperXTrainer
     from maskedsst_tpu.models.zoo import get_model

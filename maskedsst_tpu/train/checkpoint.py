@@ -11,8 +11,8 @@ sidecar of config + scheduler state. Directory layout mirrors the reference's
   models/{run_id}/{method}_at_ep{epoch}.msgpack         (finetune, src/utils.py:596-599)
   models/{run_id}/best_{method}.msgpack                 (best val acc, :600-601)
 
-``load_reference_checkpoint`` imports the reference's torch ``.pth`` blobs
-for the parity path.
+Reference torch ``.pth`` blobs are imported by
+``maskedsst_tpu.io.torch_import.load_torch_checkpoint`` (the parity path).
 """
 
 from __future__ import annotations
@@ -40,13 +40,19 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "rng": state.rng,
     } if hasattr(state, "opt_state") else {"params": state}
-    with open(path, "wb") as f:
+    # atomic writes: best_*.msgpack is overwritten in place on every new
+    # best — a crash mid-write must not truncate the previous checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
     meta = {"extra": extra or {}}
     if config is not None:
         meta["config"] = _jsonable(config.to_dict() if hasattr(config, "to_dict") else config)
-    with open(path + ".json", "w") as f:
+    tmp = path + ".json.tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=1, default=str)
+    os.replace(tmp, path + ".json")
 
 
 def restore_checkpoint(path: str, state):

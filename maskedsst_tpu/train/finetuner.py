@@ -471,7 +471,7 @@ class Finetuner:
                     "epoch": epoch,
                     **m,
                     "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
-                    **meter.stats(),
+                    **meter.window_stats(),
                 },
                 step=step,
             )

@@ -26,23 +26,13 @@ def cross_entropy(
     ignore_index: int = -1,
     weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    if logits.ndim == 4:  # [B, C, H, W] → [N, C]
-        num_classes = logits.shape[1]
-        logits = jnp.moveaxis(logits, 1, -1).reshape(-1, num_classes)
-        targets = targets.reshape(-1)
-    num_classes = logits.shape[-1]
-
-    valid = targets != ignore_index
-    safe_targets = jnp.clip(targets, 0, num_classes - 1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-
-    if weight is not None:
-        w = weight[safe_targets] * valid
-    else:
-        w = valid.astype(jnp.float32)
-    total_w = jnp.maximum(w.sum(), 1e-12)
-    return (nll * w).sum() / total_w
+    # defined as the ratio of cross_entropy_sums so the chunk-aggregation
+    # invariant (sum(nums)/sum(wsums) over chunks == cross_entropy over
+    # their union) holds by construction
+    num, wsum = cross_entropy_sums(
+        logits, targets, ignore_index=ignore_index, weight=weight
+    )
+    return num / jnp.maximum(wsum, 1e-12)
 
 
 def cross_entropy_sums(

@@ -42,9 +42,10 @@ def confusion_matrix(
 
 
 def jax_one_hot(x: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    idx = jnp.clip(x, 0, num_classes - 1)
-    oh = (idx[..., None] == jnp.arange(num_classes)).astype(jnp.float32)
-    return oh * (x >= 0)[..., None]
+    # direct equality: out-of-range values (negative OR >= num_classes)
+    # produce an all-zero row and drop out of every count — clipping would
+    # silently fold ids >= num_classes into the last class
+    return (x[..., None] == jnp.arange(num_classes)).astype(jnp.float32)
 
 
 def macro_accuracy(

@@ -430,7 +430,7 @@ class Pretrainer:
                 if np.isnan(loss):
                     raise ValueError("Loss is NaN")
                 tracker.log(
-                    {"epoch": epoch, "loss": loss, "lr": lr, **meter.stats()},
+                    {"epoch": epoch, "loss": loss, "lr": lr, **meter.window_stats()},
                     step=b,
                 )
             loss_window = [flat[-freq:]]

@@ -39,9 +39,10 @@ class Tracker:
             agent_driven = bool(
                 os.environ.get("WANDB_SWEEP_ID") or os.environ.get("WANDB_RUN_ID")
             )
+            # offline IS an opt-in (record locally, `wandb sync` later)
             use_wandb = agent_driven or os.environ.get(
                 "WANDB_MODE", "disabled"
-            ) not in ("disabled", "offline")
+            ) != "disabled"
         if use_wandb:
             try:
                 import wandb
@@ -50,7 +51,10 @@ class Tracker:
                 run = wandb.init(project=project, config=cfg, save_code=True)
                 self._wandb = wandb
                 self.run_id = run.id
-            except Exception:
+            except Exception as exc:
+                # loud fallback: under a sweep agent, losing wandb also
+                # loses the wandb.config overrides that drive the trial
+                print(f"[tracking] wandb.init failed ({exc!r}); logging to stdout only")
                 self._wandb = None
 
     def log(self, metrics: Dict[str, Any], step: int) -> None:
@@ -75,33 +79,54 @@ class Tracker:
 
 
 class Throughput:
-    """Sliding steps/sec + items/sec meter (cubes/sec/chip for BASELINE.md)."""
+    """steps/sec + items/sec meter (cubes/sec/chip for BASELINE.md).
+
+    ``stats()`` is CUMULATIVE since ``start()`` — it includes the initial
+    compile wait, so early readings underreport steady state (end-of-run
+    summaries want this). ``window_stats()`` reports the rate since the
+    previous ``window_stats()`` call — use it for per-boundary logging."""
 
     def __init__(self, items_per_step: int, num_chips: int = 1):
         self.items_per_step = items_per_step
         self.num_chips = max(num_chips, 1)
         self._t0: Optional[float] = None
         self._steps = 0
+        self._win_t: Optional[float] = None
+        self._win_steps = 0
 
     def start(self) -> None:
         self._t0 = time.perf_counter()
         self._steps = 0
+        self._win_t = self._t0
+        self._win_steps = 0
 
     def tick(self, n: int = 1) -> None:
         if self._t0 is None:
             self.start()
         self._steps += n
+        self._win_steps += n
 
-    def stats(self) -> Dict[str, float]:
-        if self._t0 is None or self._steps == 0:
-            return {}
-        dt = time.perf_counter() - self._t0
-        sps = self._steps / dt
+    def _rates(self, steps: int, dt: float) -> Dict[str, float]:
+        sps = steps / max(dt, 1e-9)
         return {
             "steps_per_sec": sps,
             "items_per_sec": sps * self.items_per_step,
             "items_per_sec_per_chip": sps * self.items_per_step / self.num_chips,
         }
+
+    def stats(self) -> Dict[str, float]:
+        if self._t0 is None or self._steps == 0:
+            return {}
+        return self._rates(self._steps, time.perf_counter() - self._t0)
+
+    def window_stats(self) -> Dict[str, float]:
+        if self._win_t is None or self._win_steps == 0:
+            return {}
+        now = time.perf_counter()
+        out = self._rates(self._win_steps, now - self._win_t)
+        self._win_t = now
+        self._win_steps = 0
+        return out
 
 
 def _to_float(v):
