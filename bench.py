@@ -15,7 +15,7 @@ Prints ONE JSON line:
 vs_baseline compares against the reference's PyTorch-GPU recipe. The
 reference publishes no throughput numbers (BASELINE.json "published": {}),
 so the anchor is a MEASURED upper bound on what the reference can do: its
-eager fp32 step materializes 35.29 GB of intermediates (measured on the
+eager fp32 step materializes 35.30 GB of intermediates (measured on the
 reference's own modules with a dispatch-mode byte counter,
 scripts/reference_step_bytes.py; linear in batch to <1%), each byte written
 once and read at least once => >=70.6 GB HBM traffic/step; on the best GPU

@@ -18,6 +18,7 @@ import glob
 import gzip
 import json
 import os
+import shutil
 import sys
 from collections import defaultdict
 
@@ -71,14 +72,24 @@ def main() -> None:
         "shapes; 512 = the serving-bench geometry, fwd-only path)")
     ap.add_argument("--modes", default="fwd,fwdbwd",
                     help="comma list from {fwd,fwdbwd}")
+    ap.add_argument(
+        "--eval", action="store_true",
+        help="measure the DETERMINISTIC serving forward (train=False, "
+        "forces dropout 0 — the eval_fwd block-size path); without this, "
+        "fwd mode measures the dropout-active training forward")
     args = ap.parse_args()
+    if args.eval:
+        args.dropout = 0.0
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from maskedsst_tpu.ops import fused_layer as fl
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
     from maskedsst_tpu.utils.profiling import trace
+
+    enable_persistent_cache()
 
     rng = np.random.default_rng(0)
 
@@ -125,7 +136,7 @@ def main() -> None:
                         for i in range(chain):
                             x = fl.fused_transformer_layer(
                                 x, params, jnp.int32(i), HEADS, DH,
-                                jnp.bfloat16, args.dropout, True,
+                                jnp.bfloat16, args.dropout, not args.eval,
                             )
                         return x
 
@@ -133,19 +144,27 @@ def main() -> None:
                         fn = jax.jit(run_fwd)
                         out = fn(x0)
                         _ = np.asarray(out)[:1, :1, :1]
-                        logdir = f"/tmp/ktune/{shape_name}_g{g}_{mode}"
-                        with trace(logdir, timeout_s=20.0):
+                        logdir = f"/tmp/ktune/{shape_name}_g{g}_f{fold}_{mode}"
+                        shutil.rmtree(logdir, ignore_errors=True)
+                        with trace(logdir, timeout_s=20.0) as tinfo:
                             out = fn(x0)
                             _ = np.asarray(out)[:1, :1, :1]
+                        if not tinfo["traced"]:
+                            print(f"{shape_name} g={g} f={fold} {mode}: trace FAILED, skipping")
+                            continue
                     else:
                         loss_fn = lambda x: jnp.sum(run_fwd(x).astype(jnp.float32))
                         fn = jax.jit(jax.grad(loss_fn))
                         out = fn(x0)
                         _ = np.asarray(out)[:1, :1, :1]
-                        logdir = f"/tmp/ktune/{shape_name}_g{g}_{mode}"
-                        with trace(logdir, timeout_s=20.0):
+                        logdir = f"/tmp/ktune/{shape_name}_g{g}_f{fold}_{mode}"
+                        shutil.rmtree(logdir, ignore_errors=True)
+                        with trace(logdir, timeout_s=20.0) as tinfo:
                             out = fn(x0)
                             _ = np.asarray(out)[:1, :1, :1]
+                        if not tinfo["traced"]:
+                            print(f"{shape_name} g={g} f={fold} {mode}: trace FAILED, skipping")
+                            continue
                     ops = device_op_ms(logdir)
                     # fwd pallas op name contains 'fused_layer' via the kernel
                     # function name; fall back to custom-call aggregation

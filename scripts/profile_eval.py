@@ -23,41 +23,20 @@ def run_chain(batch: int, chain: int, logdir: str) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from maskedsst_tpu.config import get_pretrain_config
-    from maskedsst_tpu.models import ViTSpatialSpectral
     from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
     from maskedsst_tpu.utils.profiling import trace
+    from serving_bench import build_serving_model, make_serve
 
     enable_persistent_cache()
-    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
-    model = ViTSpatialSpectral(
-        image_size=config.image_size,
-        spatial_patch_size=config.patch_size,
-        spectral_patch_size=config.band_patch_size,
-        num_classes=20,
-        dim=config.transformer_dim,
-        depth=config.transformer_depth,
-        heads=config.transformer_n_heads,
-        mlp_dim=config.transformer_mlp_dim,
-        channels=config.n_bands,
-        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
-        fused=True,
-        dtype=jnp.bfloat16,
-    )
+    # the EXACT serving_bench workload (shared construction — this profiler
+    # exists to explain that bench's numbers)
+    model, config = build_serving_model()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, config.n_bands, 8, 8)), jnp.bfloat16)
     variables = jax.jit(lambda k, v: model.init(k, v, deterministic=True))(
         jax.random.PRNGKey(0), x
     )
-
-    @jax.jit
-    def serve(x):
-        def body(x, _):
-            logits = model.apply(variables, x, deterministic=True)
-            return x + 1e-6 * jnp.mean(logits).astype(x.dtype), ()
-
-        x, _ = jax.lax.scan(body, x, None, length=chain - 1)
-        return model.apply(variables, x, deterministic=True)
+    serve = make_serve(model, variables, chain)
 
     out = serve(x)
     _ = np.asarray(out)[:1, :1]  # compile + warm

@@ -15,13 +15,14 @@ import glob
 import gzip
 import json
 import os
+import shutil
 import sys
 from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_superstep(steps: int, logdir: str) -> None:
+def run_superstep(steps: int, logdir: str) -> bool:
     import jax.numpy as jnp
     import numpy as np
 
@@ -29,8 +30,13 @@ def run_superstep(steps: int, logdir: str) -> None:
     from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
     from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
     from maskedsst_tpu.train.pretrainer import Pretrainer
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
     from maskedsst_tpu.utils.profiling import trace
 
+    enable_persistent_cache()
+    # clear stale traces: parse_trace takes the newest file, and a failed
+    # trace this run must not silently report a previous run's numbers
+    shutil.rmtree(logdir, ignore_errors=True)
     config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
     config.steps_per_call = steps
     trainer = Pretrainer(config, dtype=jnp.bfloat16)
@@ -51,6 +57,7 @@ def run_superstep(steps: int, logdir: str) -> None:
         state, losses = trainer._train_superstep(state, store.arrays["img"], idx)
         _ = float(losses[-1])
     print(f"traced={info['traced']} wall={info['wall_s'] * 1e3:.1f} ms", file=sys.stderr)
+    return bool(info["traced"])
 
 
 def parse_trace(logdir: str, steps: int) -> None:
@@ -72,14 +79,19 @@ def parse_trace(logdir: str, steps: int) -> None:
     by_name = defaultdict(float)
     by_cat = defaultdict(float)
     total = 0.0
+    module_ms = 0.0  # "XLA Modules" envelope (no hlo_category)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         args = e.get("args", {})
         cat = args.get("hlo_category")
-        if cat is None:
-            continue  # module-level envelope / python events
         dur_ms = e.get("dur", 0.0) / 1e3  # trace durs are in us
+        if cat is None:
+            # module-level envelope / python events; jit_ modules carry the
+            # run_id arg — sum them as the envelope to sanity-check against
+            if "run_id" in args or e.get("name", "").startswith("jit_"):
+                module_ms += dur_ms
+            continue
         name = e.get("name", "?")
         # strip trailing .N suffixes so repeated instances aggregate
         base = name.rsplit(".", 1)
@@ -88,6 +100,15 @@ def parse_trace(logdir: str, steps: int) -> None:
         by_name[name] += dur_ms
         by_cat[cat] += dur_ms
         total += dur_ms
+
+    if module_ms > 0 and total < 0.9 * module_ms:
+        print(
+            f"WARNING: op events sum to {total:.1f} ms but the XLA Modules "
+            f"envelope is {module_ms:.1f} ms — the Perfetto export dropped "
+            "events (known on short traces, CLAUDE.md); per-op percentages "
+            "below are untrustworthy",
+            file=sys.stderr,
+        )
 
     print(f"\n== device op time over {steps} steps: {total:.2f} ms "
           f"({total / steps:.3f} ms/step) ==")
@@ -106,7 +127,9 @@ def main() -> None:
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
-        run_superstep(args.steps, args.logdir)
+        if not run_superstep(args.steps, args.logdir):
+            print("trace FAILED — not parsing (stale-trace guard)", file=sys.stderr)
+            sys.exit(1)
     parse_trace(args.logdir, args.steps)
 
 

@@ -90,7 +90,10 @@ def measure(batch: int) -> int:
     enc = ViTSpatialSpectral(
         image_size=8, spatial_patch_size=1, spectral_patch_size=10,
         num_classes=2, dim=96, depth=4, heads=8, mlp_dim=64, channels=200,
-        spectral_pos=torch.arange(20), spectral_pos_embed=True,
+        # pretrain recipe: spectral_pos_embed False
+        # (configs/pretrain_config.yaml:26) — True would add that path's
+        # fwd/bwd materializations and inflate the anchor
+        spectral_pos=torch.arange(20), spectral_pos_embed=False,
         blockwise_patch_embed=True,
     )
     mim = SimMIMSpatialSpectral(

@@ -20,6 +20,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_serving_model():
+    """The serving workload's model + config — shared with
+    scripts/profile_eval.py so the profiler always measures exactly the
+    workload this bench reports."""
+    import jax.numpy as jnp
+
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.models import ViTSpatialSpectral
+
+    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    model = ViTSpatialSpectral(
+        image_size=config.image_size,
+        spatial_patch_size=config.patch_size,
+        spectral_patch_size=config.band_patch_size,
+        num_classes=20,
+        dim=config.transformer_dim,
+        depth=config.transformer_depth,
+        heads=config.transformer_n_heads,
+        mlp_dim=config.transformer_mlp_dim,
+        channels=config.n_bands,
+        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
+        fused=True,
+        dtype=jnp.bfloat16,
+    )
+    return model, config
+
+
+def make_serve(model, variables, chain: int):
+    """Scan-chain of `chain` dependent forwards in ONE jit: logits of pass i
+    perturb pass i+1's input so the whole chain must execute on device;
+    lax.scan keeps compile time constant in chain length (an unrolled python
+    loop stamps out `chain` copies of the stack in HLO)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def serve(x):
+        def body(x, _):
+            logits = model.apply(variables, x, deterministic=True)
+            return x + 1e-6 * jnp.mean(logits).astype(x.dtype), ()
+
+        x, _ = jax.lax.scan(body, x, None, length=chain - 1)
+        return model.apply(variables, x, deterministic=True)
+
+    return serve
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="256,512,1024")
@@ -44,24 +91,7 @@ def main() -> None:
 
     enable_persistent_cache()
 
-    from maskedsst_tpu.config import get_pretrain_config
-    from maskedsst_tpu.models import ViTSpatialSpectral
-
-    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
-    model = ViTSpatialSpectral(
-        image_size=config.image_size,
-        spatial_patch_size=config.patch_size,
-        spectral_patch_size=config.band_patch_size,
-        num_classes=20,
-        dim=config.transformer_dim,
-        depth=config.transformer_depth,
-        heads=config.transformer_n_heads,
-        mlp_dim=config.transformer_mlp_dim,
-        channels=config.n_bands,
-        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
-        fused=True,
-        dtype=jnp.bfloat16,
-    )
+    model, config = build_serving_model()
     rng = np.random.default_rng(0)
 
     results = []
@@ -76,18 +106,7 @@ def main() -> None:
                 jax.random.PRNGKey(0), x
             )
 
-        @jax.jit
-        def serve(x):
-            # chain dependent forwards: logits of pass i perturb pass i+1's
-            # input so the whole chain must execute on device. lax.scan keeps
-            # compile time constant in chain length (an unrolled python loop
-            # stamps out `chain` copies of the stack in HLO).
-            def body(x, _):
-                logits = model.apply(variables, x, deterministic=True)
-                return x + 1e-6 * jnp.mean(logits).astype(x.dtype), ()
-
-            x, _ = jax.lax.scan(body, x, None, length=args.chain - 1)
-            return model.apply(variables, x, deterministic=True)
+        serve = make_serve(model, variables, args.chain)
 
         out = serve(x)
         _ = np.asarray(out)[:1, :1]  # compile + warm

@@ -29,6 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from maskedsst_tpu.ops.fused_layer import LayerParams, fused_transformer_layer
+from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 D, H, DH, MLP = 96, 8, 64, 64
 INNER = H * DH
