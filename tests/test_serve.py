@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from maskedsst_tpu.models import ViTSpatialSpectral
+from maskedsst_tpu.parallel.mesh import get_mesh
 from maskedsst_tpu.serve import Predictor
 
 
@@ -114,3 +115,32 @@ def test_predictor_rebinds_mesh_for_fused_model():
     assert Predictor(pre_meshed, variables, batch_size=8).model is pre_meshed
     m_xla = ViTSpatialSpectral(**kw, fused=False)
     assert Predictor(m_xla, variables, batch_size=8).model is m_xla
+
+
+def test_predictor_rebinds_stale_mesh():
+    """A fused model bound to a STALE mesh (e.g. the training mesh of a
+    finished run, or a multi-chip mesh on a smaller server) must be rebound
+    to the serving mesh — and cleared entirely when serving single-chip —
+    instead of shard_mapping over devices this runtime doesn't serve with."""
+    kw = dict(
+        image_size=8, spatial_patch_size=1, spectral_patch_size=10, num_classes=6,
+        dim=24, depth=2, heads=2, dim_head=8, mlp_dim=16, channels=40,
+        spectral_pos=[0, 1, 2, 3],
+    )
+    m = ViTSpatialSpectral(**kw, fused=True)
+    x = np.zeros((1, 40, 8, 8), np.float32)
+    variables = jax.jit(lambda k, v: m.init(k, v, deterministic=True))(
+        jax.random.PRNGKey(0), jnp.asarray(x)
+    )
+    stale = get_mesh(devices=jax.devices()[:4])  # a 4-device "training" mesh
+    pre_bound = m.clone(mesh=stale)
+
+    serving = get_mesh()  # all 8 devices
+    pred = Predictor(pre_bound, variables, mesh=serving, batch_size=8)
+    assert pred.model.mesh is serving
+
+    single = get_mesh(devices=jax.devices()[:1])
+    pred1 = Predictor(pre_bound, variables, mesh=single, batch_size=8)
+    assert pred1.model.mesh is None  # single-chip: no shard_map at all
+    out = pred1(np.zeros((3, 40, 8, 8), np.float32))
+    assert out.shape[0] == 3
