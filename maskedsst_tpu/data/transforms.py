@@ -1,8 +1,11 @@
 """Normalization and label transforms as pure numpy functions.
 
 Reference classes (src/data_enmap.py:312-585, src/data_houston2018.py:332-465)
-are callables over numpy/torch arrays; here they are stateless functions so
-they can run either on the host pipeline or, via jnp, fused on-device.
+are callables over numpy/torch arrays; here they are stateless functions.
+The arithmetic NORMALIZERS also accept jnp arrays (fused on-device); the
+LABEL transforms are numpy-only — they use in-place boolean assignment,
+which JAX's immutable arrays reject, and run on the (tiny) label rasters in
+the host pipeline anyway.
 """
 
 from __future__ import annotations

@@ -66,8 +66,13 @@ class ViTOriginal(nn.Module):
 
         n = x.shape[1]
         cls_token = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim))
+        # pos table sized from the CONFIGURED image_size (reference
+        # ViT_original builds num_patches+1 rows then slices [:n+1], so a
+        # smaller-than-configured input works and torch checkpoints import
+        # at any apply resolution)
+        hp, wp = self.image_size // p1, self.image_size // p2
         pos = self.param(
-            "pos_embedding", nn.initializers.normal(1.0), (1, h * w + 1, self.dim)
+            "pos_embedding", nn.initializers.normal(1.0), (1, hp * wp + 1, self.dim)
         )
         cls = jnp.broadcast_to(cls_token.astype(x.dtype), (b, 1, self.dim))
         x = jnp.concatenate([cls, x], axis=1)

@@ -31,14 +31,24 @@ def _build_library() -> Optional[str]:
     out = os.path.join(os.path.dirname(__file__), "_tilestore.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
+    # compile to a per-process temp name and os.replace: concurrent first
+    # builds (multi-host workers) must not interleave writes into the same
+    # .so — a corrupt file with a fresh mtime would be trusted forever
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        src, "-o", out,
+        src, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
         return out
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return None
 
 
@@ -98,14 +108,20 @@ def pack_tiles(dataset, path: str, with_labels: Optional[bool] = None) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(_HEADER.pack(_MAGIC, 1, n, c, h, w, flags, 0))
+            # ONE dataset pass: labels are tiny (H*W i32) — buffer them
+            # during the image pass instead of decoding every sample twice
+            labels = [] if with_labels else None
             for i in range(n):
-                img = np.ascontiguousarray(np.asarray(dataset[i]["img"], np.float32))
+                sample = dataset[i]
+                img = np.ascontiguousarray(np.asarray(sample["img"], np.float32))
                 assert img.shape == (c, h, w), f"tile {i} shape {img.shape}"
                 f.write(img.tobytes())
-            if with_labels:
-                for i in range(n):
-                    lab = np.ascontiguousarray(np.asarray(dataset[i]["label"], np.int32))
+                if with_labels:
+                    lab = np.ascontiguousarray(np.asarray(sample["label"], np.int32))
                     assert lab.shape == (h, w)
+                    labels.append(lab)
+            if with_labels:
+                for lab in labels:
                     f.write(lab.tobytes())
         os.replace(tmp, path)
     except BaseException:
@@ -157,8 +173,27 @@ class PackedTileStore:
         )
 
     # --- gathers -------------------------------------------------------------
+    def _check_bounds(self, idx, xs=None, ys=None, size=None):
+        """Validate BEFORE either path: the numpy fallback's wraparound
+        indexing would silently return wrong tiles for the same inputs the
+        native code rejects."""
+        if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= self.num_tiles):
+            raise IndexError(
+                f"tile index out of range [0, {self.num_tiles}): "
+                f"[{int(idx.min())}, {int(idx.max())}]"
+            )
+        if xs is not None and xs.size and (
+            int(xs.min()) < 0 or int(xs.max()) + size > self.height
+        ):
+            raise IndexError(f"crop x out of range for size {size}")
+        if ys is not None and ys.size and (
+            int(ys.min()) < 0 or int(ys.max()) + size > self.width
+        ):
+            raise IndexError(f"crop y out of range for size {size}")
+
     def gather(self, indices: Sequence[int]) -> np.ndarray:
         idx = np.ascontiguousarray(indices, np.int32)
+        self._check_bounds(idx)
         out = np.empty((len(idx), self.bands, self.height, self.width), np.float32)
         if self._handle is not None:
             rc = self._lib.ts_gather(
@@ -167,8 +202,9 @@ class PackedTileStore:
                 out.ctypes.data_as(ctypes.c_void_p),
                 _ptr(self._mean), _ptr(self._std), self.threads,
             )
-            if rc == 0:
-                return out
+            if rc != 0:  # inputs are pre-validated: nonzero is a real fault
+                raise RuntimeError(f"ts_gather failed (rc={rc})")
+            return out
         out[:] = self._mm_img[idx]
         if self._mean is not None:
             out -= self._mean[:, None, None]
@@ -179,6 +215,7 @@ class PackedTileStore:
         idx = np.ascontiguousarray(indices, np.int32)
         xs = np.ascontiguousarray(xs, np.int32)
         ys = np.ascontiguousarray(ys, np.int32)
+        self._check_bounds(idx, xs, ys, size)
         out = np.empty((len(idx), self.bands, size, size), np.float32)
         if self._handle is not None:
             rc = self._lib.ts_gather_crop(
@@ -190,8 +227,9 @@ class PackedTileStore:
                 out.ctypes.data_as(ctypes.c_void_p),
                 _ptr(self._mean), _ptr(self._std), self.threads,
             )
-            if rc == 0:
-                return out
+            if rc != 0:
+                raise RuntimeError(f"ts_gather_crop failed (rc={rc})")
+            return out
         for i, (t, x, y) in enumerate(zip(idx, xs, ys)):
             out[i] = self._mm_img[t, :, x : x + size, y : y + size]
         if self._mean is not None:
@@ -202,14 +240,16 @@ class PackedTileStore:
     def gather_labels(self, indices) -> np.ndarray:
         assert self.has_labels, "store has no labels"
         idx = np.ascontiguousarray(indices, np.int32)
+        self._check_bounds(idx)
         out = np.empty((len(idx), self.height, self.width), np.int32)
         if self._handle is not None:
             rc = self._lib.ts_gather_labels(
                 self._handle, idx.ctypes.data_as(ctypes.c_void_p), len(idx),
                 out.ctypes.data_as(ctypes.c_void_p), self.threads,
             )
-            if rc == 0:
-                return out
+            if rc != 0:
+                raise RuntimeError(f"ts_gather_labels failed (rc={rc})")
+            return out
         out[:] = self._mm_lab[idx]
         return out
 

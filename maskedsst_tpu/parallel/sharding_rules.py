@@ -11,7 +11,9 @@ annotates the param tree with Megatron-style shardings over the mesh's
 * attention output kernel [I, D] → shard input rows (axis 0) — the partial
   products all-reduce back;
 * MLP fc1 [D, F] → columns; fc2 [F, D] → rows;
-* LayerNorms, embeddings, heads, biases of row-sharded layers → replicated.
+* LayerNorms, embeddings, heads, and ALL biases → replicated (including
+  column-parallel layers' biases: they are small, and GSPMD re-shards the
+  bias add for free — _spec_for's fall-through P()).
 
 Note on the fused QKV kernel: GSPMD block-shards the WHOLE 3I column axis
 into contiguous tp chunks, so with the canonical [q|k|v] column order a

@@ -40,7 +40,3 @@ class TrainState(struct.PyTreeNode):
             step=self.step + 1, params=new_params, opt_state=new_opt_state
         )
 
-    def next_rng(self) -> tuple:
-        """Split the carried key; returns (new_state, fresh_key)."""
-        rng, sub = jax.random.split(self.rng)
-        return self.replace(rng=rng), sub

@@ -14,13 +14,19 @@ with no batch expansion.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 def window_tiles(img, s: int, label=None) -> Tuple:
     """img [B, C, T, T] (+ label [B, T, T]) → windows [B*k*k, C, s, s]
     (+ [B*k*k, s, s]) with k = T // s; identity (cropped) when k <= 1."""
     b, c = img.shape[0], img.shape[1]
+    if img.shape[2] < s or img.shape[3] < s:
+        # fail at the geometry helper, not with a shape error deep inside
+        # the jitted model
+        raise ValueError(
+            f"window size {s} exceeds tile {img.shape[2]}x{img.shape[3]}"
+        )
     k = img.shape[2] // s
     if k <= 1:
         img = img[:, :, :s, :s]
