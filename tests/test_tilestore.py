@@ -73,8 +73,17 @@ def test_out_of_range_index_fallback(store_path):
     path, _ = store_path
     store = PackedTileStore(path)
     with pytest.raises(IndexError):
-        # native returns error → numpy fallback raises
         store.gather([999])
+    # NEGATIVE indices must raise too: the numpy fallback's wraparound
+    # would silently return the LAST tile for inputs the native rejects
+    with pytest.raises(IndexError):
+        store.gather([-1])
+    with pytest.raises(IndexError):
+        store.gather_labels([-1])
+    with pytest.raises(IndexError):
+        store.gather_crop([0], [-3], [0], 4)
+    with pytest.raises(IndexError):
+        store.gather_crop([0], [0], [store.width - 2], 4)  # y+size > width
 
 
 def test_dataset_interface_plugs_into_pipeline(store_path):
