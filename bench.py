@@ -32,7 +32,39 @@ import time
 BASELINE_CUBES_PER_SEC = 1849.0
 
 
+def _probe_device(timeout_s: float) -> None:
+    """Fail LOUDLY (one JSON error line + exit 1) when the device doesn't
+    answer a trivial op within ``timeout_s`` — the axon tunnel has gone
+    fully dead for hours at a time (CLAUDE.md), and a silently hung bench
+    wedges whatever driver invoked it."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, check=True,
+        )
+        return
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print(json.dumps({
+            "metric": "pretrain_cubes_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "cubes/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"device unreachable: trivial matmul did not complete "
+                     f"in {timeout_s:.0f}s (tunnel outage?)",
+        }))
+        raise SystemExit(1)
+
+
 def main() -> None:
+    _probe_device(float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "900")))
+
     import jax.numpy as jnp
     import numpy as np
 
