@@ -11,10 +11,14 @@ reference ``configs/*.yaml`` files drop in unchanged.
 from __future__ import annotations
 
 import copy
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
 import yaml
+
+# Repo root = parent of the maskedsst_tpu package (holds configs/).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 class Config:
@@ -50,6 +54,13 @@ class Config:
 
 
 def _load_yaml(path: str) -> Dict[str, Any]:
+    # Relative config paths (the drivers' "configs/..." defaults) resolve
+    # against the cwd first, then fall back to the repo root so the CLIs work
+    # from any directory (the reference is cwd-only, src/utils.py:317-321).
+    if not os.path.isabs(path) and not os.path.exists(path):
+        rooted = os.path.join(_REPO_ROOT, path)
+        if os.path.exists(rooted):
+            path = rooted
     with open(path, "r") as f:
         return yaml.safe_load(f)
 

@@ -129,3 +129,22 @@ def test_rederive_finetune_config_after_overrides():
     cfg.pixelwise = True
     rederive_finetune_config(cfg)
     assert cfg.patch_sub == (1 if cfg.image_size % 2 == 0 else 0)
+
+
+def test_relative_config_paths_resolve_from_any_cwd(tmp_path, monkeypatch):
+    """The drivers' "configs/..." defaults must work when the CLI is invoked
+    outside the repo root (cwd-relative first, repo-root fallback)."""
+    from maskedsst_tpu.config import get_finetune_config
+
+    monkeypatch.chdir(tmp_path)
+    cfg = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    assert cfg.dataset == "dfc"  # finetune_config_enmap.yaml targets EnMAP-DFC
+
+    # cwd-local file still wins over the repo-root copy
+    (tmp_path / "configs").mkdir()
+    (tmp_path / "configs" / "probe.yaml").write_text("marker: 7\n")
+    from maskedsst_tpu.config import _load_yaml
+
+    assert _load_yaml("configs/probe.yaml") == {"marker": 7}
