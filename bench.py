@@ -27,9 +27,28 @@ generation (measured 1.9 ms/step), zero python dispatch — the step takes
 
 import json
 import os
-import time
+import sys
 
 BASELINE_CUBES_PER_SEC = 1849.0
+
+# The image carries two pythons: /opt/venv/bin/python (jax + numpy) and a
+# bare /usr/local/bin/python with no scientific stack. If we were launched
+# with the bare one, re-exec under the venv interpreter rather than dying
+# on the first import.
+if __name__ == "__main__":
+    try:
+        import numpy  # noqa: F401
+    except ModuleNotFoundError:
+        # NB: /opt/venv/bin/python symlinks the same binary — the venv works
+        # through sys.prefix/site-packages, so compare prefixes, not paths.
+        _venv = "/opt/venv/bin/python"
+        if (os.path.exists(_venv) and sys.prefix != "/opt/venv"
+                and not os.environ.get("MASKEDSST_REEXEC")):
+            os.environ["MASKEDSST_REEXEC"] = "1"
+            os.execv(_venv, [_venv, os.path.abspath(__file__)] + sys.argv[1:])
+        raise
+
+import time
 
 
 def _probe_device(timeout_s: float) -> None:
