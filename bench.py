@@ -38,9 +38,18 @@ BASELINE_CUBES_PER_SEC = 1849.0
 if __name__ == "__main__":
     try:
         import numpy  # noqa: F401
-    except ModuleNotFoundError:
+
+        # the venv leg: clear the loop guard so child processes (device
+        # probe, a driver re-running bench) never inherit a stale one that
+        # would disable THEIR re-exec fallback
+        os.environ.pop("MASKEDSST_REEXEC", None)
+    except ImportError:
         # NB: /opt/venv/bin/python symlinks the same binary — the venv works
         # through sys.prefix/site-packages, so compare prefixes, not paths.
+        # The sys.prefix check alone breaks the exec loop (the re-exec'd
+        # child's prefix IS /opt/venv); MASKEDSST_REEXEC is belt-and-braces
+        # for a venv so broken its prefix doesn't resolve, and is scoped to
+        # one exec hop by the pop above.
         _venv = "/opt/venv/bin/python"
         if (os.path.exists(_venv) and sys.prefix != "/opt/venv"
                 and not os.environ.get("MASKEDSST_REEXEC")):

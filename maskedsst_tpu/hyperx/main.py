@@ -239,13 +239,20 @@ def main() -> None:
                 save_dir = os.path.join(
                     args.checkpoint_dir, camel_to_snake(type(model).__name__), dataset_name
                 )
-            trainer.train(
-                train_ds,
-                epochs=hp["epoch"] if args.epoch is None else args.epoch,
-                val_dataset=val_ds if len(val_ds) else None,
-                max_steps=args.max_steps,
-                save_dir=save_dir,
-            )
+            try:
+                trainer.train(
+                    train_ds,
+                    epochs=hp["epoch"] if args.epoch is None else args.epoch,
+                    val_dataset=val_ds if len(val_ds) else None,
+                    max_steps=args.max_steps,
+                    save_dir=save_dir,
+                )
+            except KeyboardInterrupt:
+                # a Ctrl-C mid-zoo-run still tests and reports the partially
+                # trained net instead of discarding hours of work
+                # (reference DeepHyperX/main.py:404-419)
+                print("KeyboardInterrupt: stopping training, running inference "
+                      "with the partially trained model")
             probs = trainer.test(img)
             prediction = np.argmax(probs, axis=-1)
 

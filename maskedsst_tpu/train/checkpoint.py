@@ -26,30 +26,57 @@ import numpy as np
 from flax import serialization
 
 
+def _host_leaf(leaf):
+    """Fetch one pytree leaf to host numpy, multi-process-safely.
+
+    Replicated or fully-addressable arrays convert directly; arrays whose
+    shards live on other hosts (e.g. a batch-sharded leaf) are assembled
+    with a ``process_allgather`` COLLECTIVE — so this must run on EVERY
+    process, in the same tree order (jax.tree.map guarantees that)."""
+    if not isinstance(leaf, jax.Array):
+        return leaf  # python scalars / numpy pass through untouched
+    if not (leaf.is_fully_addressable or leaf.is_fully_replicated):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def save_checkpoint(
     path: str,
     state,
     config: Optional[Any] = None,
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """Serialize a TrainState (or bare params pytree) + metadata sidecar."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    """Serialize a TrainState (or bare params pytree) + metadata sidecar.
+
+    Multi-host-safe: call from EVERY process (host materialization may
+    involve collectives); only process 0 touches the filesystem, so N
+    processes never race on the same file (the reference is single-process,
+    SURVEY.md §2.3 — this contract is new surface)."""
     payload = {
         "step": state.step,
         "params": state.params,
         "opt_state": state.opt_state,
         "rng": state.rng,
     } if hasattr(state, "opt_state") else {"params": state}
+    payload = jax.tree.map(_host_leaf, payload)
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # atomic writes: best_*.msgpack is overwritten in place on every new
-    # best — a crash mid-write must not truncate the previous checkpoint
-    tmp = path + ".tmp"
+    # best — a crash mid-write must not truncate the previous checkpoint.
+    # The tmp name is pid-unique so two writers that each believe they are
+    # primary (e.g. unrelated single-process runs sharing a models dir)
+    # cannot interleave inside one staging file.
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
     os.replace(tmp, path)
     meta = {"extra": extra or {}}
     if config is not None:
         meta["config"] = _jsonable(config.to_dict() if hasattr(config, "to_dict") else config)
-    tmp = path + ".json.tmp"
+    tmp = f"{path}.json.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1, default=str)
     os.replace(tmp, path + ".json")

@@ -32,6 +32,14 @@ class Tracker:
         self.jsonl_path = jsonl_path
         self._wandb = None
         self.run_id = f"local-{int(time.time())}"
+        # multi-host: exactly one process owns persistence. Without this,
+        # every host of a pod slice would wandb.init its own run and append
+        # to the same JSONL — N duplicate runs and interleaved files. The
+        # reference never faces this (single-process, SURVEY.md §2.3).
+        if _process_index() != 0:
+            use_wandb = False
+            self.jsonl_path = None
+            self.quiet = True
         if use_wandb is None:
             # a `wandb agent` worker sets sweep/run IDs but NOT WANDB_MODE —
             # without this, sweep trials would silently train yaml defaults
@@ -127,6 +135,20 @@ class Throughput:
         self._win_t = now
         self._win_steps = 0
         return out
+
+
+def _process_index() -> int:
+    """jax.process_index(), or 0 when no backend is reachable.
+
+    Looked up at call time (not cached) so tests can monkeypatch
+    ``jax.process_index``; the except arm covers interpreters without a
+    usable jax backend (Tracker must stay constructible there)."""
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
 
 
 def _to_float(v):

@@ -454,3 +454,33 @@ def test_hyperx_mixture_labels_aligned():
     # the augmentation path runs without tripping the alignment assert
     for i in range(min(10, len(ds))):
         ds[i]
+
+
+def test_keyboard_interrupt_still_tests_and_reports(tmp_path, monkeypatch, capsys):
+    """Ctrl-C mid-training must still run test inference and report metrics
+    (reference DeepHyperX/main.py:404-419): the CLI catches KeyboardInterrupt
+    around train() and proceeds with the partially trained net."""
+    import sys
+
+    from maskedsst_tpu.hyperx import main as hx_main
+    from maskedsst_tpu.hyperx.training import HyperXTrainer
+
+    real_train = HyperXTrainer.train
+
+    def interrupted_train(self, *a, **kw):
+        # a couple of real steps, then the user hits Ctrl-C
+        kw["max_steps"] = 2
+        real_train(self, *a, **kw)
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(HyperXTrainer, "train", interrupted_train)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["main", "--model", "li", "--synthetic-scene", "--epoch", "1",
+         "--checkpoint-dir", "none", "--out-dir", str(tmp_path / "viz")],
+    )
+    hx_main.main()
+    out = capsys.readouterr().out
+    assert "KeyboardInterrupt" in out
+    assert "Accuracy" in out  # show_results still printed the metrics block
+    assert (tmp_path / "viz" / "synthetic" / "run0_prediction.tif").exists()
