@@ -65,6 +65,25 @@ def _bdot(a, b, dims, compute_dtype):
         preferred_element_type=jnp.float32,
     )
 
+# Compute QKV as ONE full-lane [GS, D] x [D, 3I] matmul (3I = 1536 lanes,
+# 100% tile fill) plus 24 per-head lane-slice scratch stores, instead of the
+# head-major batched [H, GS, D] x [H, D, 3dh] form (192-lane instances, 75%
+# fill of 2 tiles, plus an h broadcast); the backward stages dq/dk/dv into a
+# [GS, 3I] scratch and takes full-lane dwqkv/dh1 matmuls. Round 1 rejected
+# this under the 16 MB VMEM limit with wall-clock timing; re-measured with
+# device-time A/B (scripts/kernel_tune.py --full-lane, v5e, ms/layer,
+# head-major → full-lane):
+#   spatial  g16 fwdbwd 3.370 → 3.176 (−5.8%)   [the train block size]
+#   spatial  g32 fwd    1.084 → 1.077 (wash)    [the eval block size]
+#   spectral g32 fwdbwd 4.357 → 4.359 (wash)    [the train block size]
+#   spectral g32 fwd    1.270 → 1.169 (−8.0%)   [the eval block size]
+#   (spectral g16, unused in production: fwd +4.6%, fwdbwd +2.1%)
+# Net: wins or ties every production configuration — ON by default. The
+# False path is kept as the A/B control (kernel_tune runs without
+# --full-lane) and for any future geometry where short-seq folding favors
+# the head-major form. Flip BEFORE tracing.
+FULL_LANE_QKV = True
+
 # dropout site ids (distinct constants mixed into the PRNG seed)
 _SITE_ATTN = 1
 _SITE_PROJ = 3
@@ -124,6 +143,28 @@ def _from_headmajor_grads(dwqkv3, dwout3, heads: int, dim_head: int):
     dwqkv = jnp.concatenate([dq, dk, dv], axis=1)  # [D, 3I]
     dwout = dwout3.reshape(heads * dim_head, -1)  # [I, D]
     return dwqkv, dwout
+
+
+def _to_fulllane(params: LayerParams, dim_head: int):
+    """Canonical [D, 3I] QKV weights with the attention scale folded into
+    the Q block (the full-lane kernel consumes the canonical layout
+    directly — no head-major transpose)."""
+    i = params.wqkv.shape[1] // 3
+    scale = jnp.concatenate(
+        [jnp.full((i,), dim_head**-0.5, params.wqkv.dtype),
+         jnp.ones((2 * i,), params.wqkv.dtype)]
+    )
+    return params.wqkv * scale
+
+
+def _from_fulllane_grad(dwqkv_scaled, dim_head: int):
+    """Undo the folded Q scale on a [D, 3I] gradient."""
+    i = dwqkv_scaled.shape[1] // 3
+    scale = jnp.concatenate(
+        [jnp.full((i,), dim_head**-0.5, dwqkv_scaled.dtype),
+         jnp.ones((2 * i,), dwqkv_scaled.dtype)]
+    )
+    return dwqkv_scaled * scale
 
 
 def _erf(x):
@@ -255,22 +296,42 @@ def _block_diag_mask(fold: int, seq: int):
     return (row == col)[None]  # [1, fS, fS], broadcast over batch
 
 
-def _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, seq, g, compute_dtype, want_cache=False):
+def _attn_fwd(h, wqkv_ref, drop, heads, dim_head, seq, g, compute_dtype, want_cache=False, qkv_scratch=None):
     """h [G*S, D] layer-normed tokens → (attention heads output
     [H, G*S, dh], cache) — fully batched, no per-head loops. `fold`
     independent sequences share one block-diagonal scores matmul; masked
     (−1e30) off-diagonal softmax terms are exactly 0, so results equal the
-    per-sequence computation."""
+    per-sequence computation.
+
+    Two QKV-projection forms (numerically identical — q/k/v reach the
+    score/AV matmuls through the same compute_dtype cast either way):
+    head-major batched (default, ``wqkv_ref`` is [H, D, 3dh]) or, when
+    ``qkv_scratch`` refs are passed, one full-lane [GS, D] x [D, 3I]
+    matmul whose per-head 64-lane slices are staged through VMEM scratch
+    (``wqkv_ref`` is the canonical [D, 3I])."""
     gs = h.shape[0]
     fold = _choose_fold(seq, g)
-    hb = jnp.broadcast_to(h.astype(compute_dtype)[None], (heads, gs, h.shape[1]))
-    qkvh = _bmm(hb, wqkv3_ref[:], compute_dtype)  # [H, GS, 3dh]
     nb, fs = heads * g // fold, fold * seq
     # q arrives pre-scaled by 1/sqrt(dh) (folded into the weights,
-    # _to_headmajor) — scores need no scaling pass
-    q = qkvh[:, :, :dim_head].reshape(nb, fs, dim_head)
-    k = qkvh[:, :, dim_head : 2 * dim_head].reshape(nb, fs, dim_head)
-    v = qkvh[:, :, 2 * dim_head :].reshape(nb, fs, dim_head)
+    # _to_headmajor/_to_fulllane) — scores need no scaling pass
+    if qkv_scratch is not None:
+        q_s, k_s, v_s = qkv_scratch
+        qkv = _mm(h, wqkv_ref[:], compute_dtype)  # [GS, 3I] fp32
+        i = heads * dim_head
+        for hh in range(heads):
+            lo, hi = hh * dim_head, (hh + 1) * dim_head
+            q_s[hh] = qkv[:, lo:hi].astype(q_s.dtype)
+            k_s[hh] = qkv[:, i + lo : i + hi].astype(k_s.dtype)
+            v_s[hh] = qkv[:, 2 * i + lo : 2 * i + hi].astype(v_s.dtype)
+        q = q_s[:].reshape(nb, fs, dim_head)
+        k = k_s[:].reshape(nb, fs, dim_head)
+        v = v_s[:].reshape(nb, fs, dim_head)
+    else:
+        hb = jnp.broadcast_to(h.astype(compute_dtype)[None], (heads, gs, h.shape[1]))
+        qkvh = _bmm(hb, wqkv_ref[:], compute_dtype)  # [H, GS, 3dh]
+        q = qkvh[:, :, :dim_head].reshape(nb, fs, dim_head)
+        k = qkvh[:, :, dim_head : 2 * dim_head].reshape(nb, fs, dim_head)
+        v = qkvh[:, :, 2 * dim_head :].reshape(nb, fs, dim_head)
     s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
     if fold > 1:
         s = jnp.where(_block_diag_mask(fold, seq), s, jnp.float32(-1e30))
@@ -294,14 +355,16 @@ def _layer_fwd_kernel(
     ln1s_ref, ln1b_ref, wqkv3_ref, wout3_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
-    *, heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
+    *scratch,
+    heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
 ):
     g, s, d = x_ref.shape
     drop = _DropoutCtx(seed_ref, dropout_rate, train)
     x = x_ref[:].reshape(g * s, d).astype(jnp.float32)
 
     h = _ln(x, ln1s_ref[:], ln1b_ref[:])
-    o_heads, _ = _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype)
+    o_heads, _ = _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype,
+                           qkv_scratch=scratch or None)
     proj = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0)  # [GS, D]
     proj = proj + bout_ref[:].astype(jnp.float32)
     if proj_dropout:
@@ -326,7 +389,8 @@ def _layer_bwd_kernel(
     dx_ref,
     dln1s_ref, dln1b_ref, dwqkv3_ref, dwout3_ref, dbout_ref,
     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    *, heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
+    *scratch,
+    heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
 ):
     g, s, d = x_ref.shape
     gs = g * s
@@ -337,7 +401,8 @@ def _layer_bwd_kernel(
     # ---- recompute forward (identical masks regenerate from the PRNG) -----
     h1, z1, rsig1 = _ln_fwd_stats(x0, ln1s_ref[:], ln1b_ref[:])
     o_heads, cache = _attn_fwd(
-        h1, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype, want_cache=True
+        h1, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype, want_cache=True,
+        qkv_scratch=scratch[:3] if scratch else None,
     )
     q, k, v, a, a_d, a_mask = cache
     p1 = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0) + bout_ref[:].astype(jnp.float32)
@@ -384,17 +449,34 @@ def _layer_bwd_kernel(
     dq = _bmm(ds, k, compute_dtype)  # [HG/f, fS, dh]
     dk = _bmm(ds, q, compute_dtype, trans_a=True)
 
-    dqkvh = jnp.concatenate(
-        [
-            dq.reshape(heads, gs, dim_head),
-            dk.reshape(heads, gs, dim_head),
-            dv.reshape(heads, gs, dim_head),
-        ],
-        axis=-1,
-    )  # [H, GS, 3dh]
-    h1b = jnp.broadcast_to(h1.astype(compute_dtype)[None], (heads, gs, d))
-    dwqkv3 = _bmm(h1b, dqkvh, compute_dtype, trans_a=True)  # [H, D, 3dh]
-    dh1 = jnp.sum(_bmm(dqkvh, wqkv3_ref[:], compute_dtype, trans_b=True), axis=0)
+    if scratch:
+        # full-lane: stage per-head grads into a [GS, 3I] scratch, then one
+        # full-K/full-lane matmul pair for the weight grad and dh1
+        dqkv_s = scratch[3]
+        i = heads * dim_head
+        dqh = dq.reshape(heads, gs, dim_head)
+        dkh = dk.reshape(heads, gs, dim_head)
+        dvh = dv.reshape(heads, gs, dim_head)
+        for hh in range(heads):
+            lo, hi = hh * dim_head, (hh + 1) * dim_head
+            dqkv_s[:, lo:hi] = dqh[hh].astype(dqkv_s.dtype)
+            dqkv_s[:, i + lo : i + hi] = dkh[hh].astype(dqkv_s.dtype)
+            dqkv_s[:, 2 * i + lo : 2 * i + hi] = dvh[hh].astype(dqkv_s.dtype)
+        dqkv = dqkv_s[:]
+        dwqkv3 = _mm(h1, dqkv, compute_dtype, trans_a=True)  # [D, 3I]
+        dh1 = _mm(dqkv, wqkv3_ref[:], compute_dtype, trans_b=True)  # [GS, D]
+    else:
+        dqkvh = jnp.concatenate(
+            [
+                dq.reshape(heads, gs, dim_head),
+                dk.reshape(heads, gs, dim_head),
+                dv.reshape(heads, gs, dim_head),
+            ],
+            axis=-1,
+        )  # [H, GS, 3dh]
+        h1b = jnp.broadcast_to(h1.astype(compute_dtype)[None], (heads, gs, d))
+        dwqkv3 = _bmm(h1b, dqkvh, compute_dtype, trans_a=True)  # [H, D, 3dh]
+        dh1 = jnp.sum(_bmm(dqkvh, wqkv3_ref[:], compute_dtype, trans_b=True), axis=0)
     dx0_ln, dln1s, dln1b = _ln_bwd(dh1, z1, rsig1, ln1s_ref[:])
     dx0 = dx1 + dx0_ln
 
@@ -495,8 +577,26 @@ def fused_transformer_layer(
     return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
 
 
+def _prep_weights(params, heads, dim_head):
+    """(QKV weight repr, head-major out-proj) per the FULL_LANE_QKV switch."""
+    if FULL_LANE_QKV:
+        return _to_fulllane(params, dim_head), params.wout.reshape(heads, dim_head, -1)
+    return _to_headmajor(params, heads, dim_head)
+
+
+def _qkv_scratch_shapes(g, s, heads, dim_head, compute_dtype, bwd=False):
+    """VMEM scratch for the full-lane QKV staging (empty when switch off):
+    q/k/v head-major [H, GS, dh] + (bwd) the [GS, 3I] grad-staging buffer."""
+    if not FULL_LANE_QKV:
+        return []
+    shapes = [pltpu.VMEM((heads, g * s, dim_head), compute_dtype)] * 3
+    if bwd:
+        shapes.append(pltpu.VMEM((g * s, 3 * heads * dim_head), compute_dtype))
+    return shapes
+
+
 def _kernel_inputs(params, seed, heads, dim_head, headmajor=None):
-    wqkv3, wout3 = headmajor if headmajor is not None else _to_headmajor(
+    wqkv3, wout3 = headmajor if headmajor is not None else _prep_weights(
         params, heads, dim_head
     )
     tensors = (
@@ -526,6 +626,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         + [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
         + _param_specs(),
         out_specs=pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=_qkv_scratch_shapes(g, s, heads, dim_head, compute_dtype),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, *tensors)
@@ -536,7 +637,7 @@ def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
     # them once here and carrying them as residuals saves the backward pass
     # redoing the reshape/transpose/concat prep (measured ~0.1-0.2 ms/step
     # of XLA glue at the reference recipe)
-    headmajor = _to_headmajor(params, heads, dim_head)
+    headmajor = _prep_weights(params, heads, dim_head)
     out = _fwd_impl(
         x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train,
         interpret, proj_dropout, headmajor,
@@ -560,7 +661,10 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
     grad_shapes = [
         jax.ShapeDtypeStruct(params.ln1_scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln1_bias.shape, jnp.float32),
-        jax.ShapeDtypeStruct((heads, d, 3 * dim_head), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (d, 3 * heads * dim_head) if FULL_LANE_QKV else (heads, d, 3 * dim_head),
+            jnp.float32,
+        ),
         jax.ShapeDtypeStruct((heads, dim_head, d), jnp.float32),
         jax.ShapeDtypeStruct(params.bout.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln2_scale.shape, jnp.float32),
@@ -583,12 +687,17 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         + [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
         + _param_specs(),
         out_specs=tuple(out_specs),
+        scratch_shapes=_qkv_scratch_shapes(g, s, heads, dim_head, compute_dtype, bwd=True),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, grad_out, *tensors)
     dx = outs[0]
     (dln1s, dln1b, dwqkv3, dwout3, dbout, dln2s, dln2b, dw1, db1, dw2, db2) = outs[1:]
-    dwqkv, dwout = _from_headmajor_grads(dwqkv3, dwout3, heads, dim_head)
+    if FULL_LANE_QKV:
+        dwqkv = _from_fulllane_grad(dwqkv3, dim_head)
+        dwout = dwout3.reshape(heads * dim_head, -1)
+    else:
+        dwqkv, dwout = _from_headmajor_grads(dwqkv3, dwout3, heads, dim_head)
     gp = LayerParams(
         ln1_scale=dln1s.astype(params.ln1_scale.dtype),
         ln1_bias=dln1b.astype(params.ln1_bias.dtype),

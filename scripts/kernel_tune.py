@@ -73,6 +73,14 @@ def main() -> None:
     ap.add_argument("--modes", default="fwd,fwdbwd",
                     help="comma list from {fwd,fwdbwd}")
     ap.add_argument(
+        "--full-lane", action="store_true",
+        help="force the FULL_LANE_QKV kernel variant (single [GS,D]x[D,3I] "
+        "QKV matmul + per-head lane-slice scratch staging) — the production "
+        "default")
+    ap.add_argument(
+        "--head-major", action="store_true",
+        help="force the head-major batched QKV form (the A/B control)")
+    ap.add_argument(
         "--eval", action="store_true",
         help="measure the DETERMINISTIC serving forward (train=False, "
         "forces dropout 0 — the eval_fwd block-size path); without this, "
@@ -90,6 +98,10 @@ def main() -> None:
     from maskedsst_tpu.utils.profiling import trace
 
     enable_persistent_cache()
+    if args.full_lane:
+        fl.FULL_LANE_QKV = True
+    elif args.head_major:
+        fl.FULL_LANE_QKV = False
 
     rng = np.random.default_rng(0)
 
