@@ -111,43 +111,48 @@ def save_exploration(
     label_values: Sequence[str],
     ignored_labels: Sequence[int] = (),
 ) -> Dict[str, np.ndarray]:
-    """Headless explore_spectrums + plot_spectrums
-    (DeepHyperX/utils.py:124-175): writes ``spectrum_{class}.png`` per class
-    and the combined ``mean_spectrums.png``. Returns the per-class mean
-    spectra."""
+    """Headless counterpart of the reference's spectrum exploration
+    (``explore_spectrums``/``plot_spectrums``, DeepHyperX/utils.py:124-175,
+    behind the CLI's ``--with-exploration``): writes ``spectrum_{class}.png``
+    per class and the combined ``mean_spectrums.png``, and returns the
+    per-class mean spectra. The rendering itself is this module's own:
+    an interdecile envelope + mean line over a vectorized subsample of the
+    class's pixel spectra (the reference instead strides every ~100th
+    spectrum as individual line plots)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(out_dir, exist_ok=True)
+    n_bands = img.shape[-1]
+    bands = np.arange(n_bands)
     mean_spectrums: Dict[str, np.ndarray] = {}
     for c in np.unique(gt):
         if c in ignored_labels:
             continue
-        spectra = img[gt == c].reshape(-1, img.shape[-1])
+        spectra = img[gt == c].reshape(-1, n_bands)
         if spectra.size == 0:
             continue
         mean = spectra.mean(axis=0)
-        std = spectra.std(axis=0)
-        fig = plt.figure()
-        plt.title(label_values[c])
-        step = max(1, spectra.shape[0] // 100)
-        for spectrum in spectra[::step]:
-            plt.plot(spectrum, alpha=0.25)
-        plt.fill_between(
-            range(len(mean)), np.maximum(0, mean - std), mean + std, color="#3F5D7D"
-        )
-        plt.plot(mean, alpha=1, color="#FFFFFF", lw=2)
+        mean_spectrums[label_values[c]] = mean
+        lo, hi = np.percentile(spectra, [10, 90], axis=0)
+        # one 2-D plot call draws the whole subsample (columns = lines)
+        sample = spectra[:: max(1, spectra.shape[0] // 64)]
+        fig, ax = plt.subplots()
+        ax.plot(bands, sample.T, color="0.6", alpha=0.15, lw=0.7)
+        ax.fill_between(bands, lo, hi, alpha=0.35, label="10–90%")
+        ax.plot(bands, mean, lw=2, label="mean")
+        ax.set(title=label_values[c], xlabel="band", ylabel="value")
+        ax.legend(loc="upper right", fontsize=7)
         fig.savefig(os.path.join(out_dir, f"spectrum_{int(c)}.png"))
         plt.close(fig)
-        mean_spectrums[label_values[c]] = mean
 
-    fig = plt.figure()
+    fig, ax = plt.subplots()
     for name, spectrum in mean_spectrums.items():
-        plt.plot(np.arange(len(spectrum)), spectrum, label=name)
-    plt.title("Mean spectrum/class")
-    plt.legend(fontsize=6)
+        ax.plot(bands, spectrum, label=name)
+    ax.set(title="Mean spectrum per class", xlabel="band", ylabel="value")
+    ax.legend(fontsize=6)
     fig.savefig(os.path.join(out_dir, "mean_spectrums.png"))
     plt.close(fig)
     return mean_spectrums

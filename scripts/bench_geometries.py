@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Secondary-geometry benchmarks (VERDICT r2 #3): the numbers bench.py does
+not cover.
+
+  (a) Houston2018 pretrain recipe — 50 bands → 5 spectral blocks, 320
+      tokens/cube (configs/finetune_config_houston2018.yaml data section +
+      the pretrain hyperparameters). Short spectral sequences are this
+      kernel design's weak spot (lane padding at seq 5-20), so this geometry
+      guards against a silent perf cliff.
+  (b) Finetune train step at the EnMAP recipe (ViTSpatialSpectral classifier,
+      shifting-window tiling semantics, Adam) — bench.py tracks pretrain and
+      serving only.
+
+Prints one JSON line per workload (same shape as bench.py, extra
+``device_ms_per_step`` field from a jax.profiler trace) and is recorded in
+BASELINE.md. Wall throughput uses superstep chains + host-fetch sync
+(block_until_ready is unreliable through the tunnel, CLAUDE.md); device time
+comes from the trace and is deterministic to ±0.001 ms.
+
+Usage: python scripts/bench_geometries.py [--workloads houston_pretrain,finetune_enmap]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def device_total_ms(logdir: str) -> float:
+    """Sum of device-side XLA op durations in the newest trace (ms)."""
+    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return float("nan")
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    events = d.get("traceEvents", [])
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "/device:" in e["args"].get("name", "")
+    }
+    return sum(
+        e.get("dur", 0.0) / 1e3
+        for e in events
+        if e.get("ph") == "X"
+        and e.get("pid") in device_pids
+        and e.get("args", {}).get("hlo_category") is not None
+    )
+
+
+def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: int):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(cubes_per_sec_per_chip, 1),
+        "unit": "cubes/s/chip",
+        "device_ms_per_step": round(device_ms / steps, 3) if device_ms == device_ms else None,
+    }), flush=True)
+
+
+def bench_houston_pretrain(steps: int) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+    from maskedsst_tpu.utils.profiling import trace
+
+    config = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    # Houston2018 data section (configs/config.yaml): 48 CASI bands
+    # zero-padded to 50 → 5 spectral blocks of 10; 20 classes; samples
+    # arrive at image_size already (no 64x64 tile crop, like the houston
+    # patch datasets), hence tile_size=image_size below
+    config.dataset = "houston2018"
+    config.n_bands = 50
+    config.n_classes = 20
+    config.steps_per_call = steps
+    trainer = Pretrainer(config, dtype=jnp.bfloat16, tile_size=config.image_size)
+    dataset = SyntheticCubeDataset(
+        num_tiles=2048, n_bands=50, tile_size=config.image_size, labeled=False
+    )
+    store = DeviceTileStore(dataset, trainer.mesh)
+    batcher = IndexBatcher(len(store), config.batch_size, shuffle=True, drop_last=True, seed=0)
+    chunks: list = []
+    while len(chunks) < steps:
+        chunks.extend(list(batcher))
+    idx = jnp.asarray(np.stack(chunks[:steps]))
+
+    state = trainer.state
+    state, losses = trainer._train_superstep(state, store.arrays["img"], idx)
+    _ = float(losses[-1])  # compile + warm
+    times = []
+    for _i in range(4):
+        t0 = time.perf_counter()
+        state, losses = trainer._train_superstep(state, store.arrays["img"], idx)
+        _ = float(losses[-1])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    wall = times[len(times) // 2]
+
+    logdir = "/tmp/bench_geo/houston"
+    shutil.rmtree(logdir, ignore_errors=True)
+    with trace(logdir, timeout_s=20.0) as info:
+        state, losses = trainer._train_superstep(state, store.arrays["img"], idx)
+        _ = float(losses[-1])
+    dev = device_total_ms(logdir) if info["traced"] else float("nan")
+    _emit(
+        "houston_pretrain_cubes_per_sec_per_chip",
+        steps * config.batch_size / wall / trainer.mesh.devices.size,
+        dev, steps,
+    )
+
+
+def bench_finetune_enmap(steps: int, batch: int = None) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.config import get_finetune_config
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+    from maskedsst_tpu.utils.profiling import trace
+
+    config = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    if batch is not None:
+        config.batch_size = batch
+    model, kwargs = build_finetune_model(config)
+    ft = Finetuner(config, model, **kwargs)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.standard_normal((config.batch_size, config.n_bands, 64, 64)), jnp.float32
+    )
+    label = jnp.asarray(rng.integers(0, config.n_classes, (config.batch_size, 32, 32)), jnp.int32)
+
+    state = ft.state
+    state, metrics = ft._train_step(state, img, label)
+    _ = float(metrics["loss"])  # compile + warm
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        s = state
+        for _k in range(steps):
+            s, metrics = ft._train_step(s, img, label)
+        _ = float(metrics["loss"])
+        state = s
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    wall = times[len(times) // 2]
+
+    logdir = "/tmp/bench_geo/finetune"
+    shutil.rmtree(logdir, ignore_errors=True)
+    with trace(logdir, timeout_s=30.0) as info:
+        s = state
+        for _k in range(steps):
+            s, metrics = ft._train_step(s, img, label)
+        _ = float(metrics["loss"])
+    dev = device_total_ms(logdir) if info["traced"] else float("nan")
+    _emit(
+        f"finetune_enmap_bs{config.batch_size}_cubes_per_sec_per_chip",
+        steps * config.batch_size / wall / ft.mesh.devices.size,
+        dev, steps,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workloads", default="houston_pretrain,finetune_enmap")
+    ap.add_argument("--steps", type=int, default=64)
+    args = ap.parse_args()
+
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    for w in args.workloads.split(","):
+        if w == "houston_pretrain":
+            bench_houston_pretrain(args.steps)
+        elif w == "finetune_enmap":
+            # the recipe's own batch (2, finetune_config_enmap.yaml) is
+            # dispatch-bound; also measure batch 64 for a device-saturating
+            # number comparable to the pretrain bench
+            bench_finetune_enmap(max(8, args.steps // 8))
+            bench_finetune_enmap(max(8, args.steps // 8), batch=64)
+        else:
+            raise SystemExit(f"unknown workload {w}")
+
+
+if __name__ == "__main__":
+    main()
