@@ -607,8 +607,26 @@ def _kernel_inputs(params, seed, heads, dim_head, headmajor=None):
     return jnp.asarray(seed, jnp.int32).reshape(1), tensors
 
 
+def _odd_packed_slab(s: int, dtype) -> bool:
+    """Mosaic cannot shape-cast the (g, s, d) token slab to (g*s, d) when s
+    is odd and the dtype packs two rows per 32-bit sublane register (bf16):
+    the merge crosses a packed pair (probed on v5e: bf16 s=5 fails
+    "unsupported shape cast", s=4/6/10 and every fp32 shape lower fine —
+    the Houston2018 spectral geometry, 50 bands → 5 blocks, hits this).
+    Such slabs route through fp32 kernel I/O instead: the kernel computes
+    the residual stream in fp32 regardless, so results are bit-identical
+    and the only cost is 2x DMA on an already tiny slab."""
+    return s % 2 == 1 and jnp.dtype(dtype).itemsize == 2
+
+
 def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True, headmajor=None):
     b, s, d = x.shape
+    if _odd_packed_slab(s, x.dtype):
+        return _fwd_impl(
+            x.astype(jnp.float32), params, seed, heads, dim_head,
+            compute_dtype, dropout_rate, train, interpret, proj_dropout,
+            headmajor,
+        ).astype(x.dtype)
     g = _choose_block(b, s, compute_dtype,
                       eval_fwd=not (train and dropout_rate > 0.0))
     kernel = functools.partial(
@@ -648,6 +666,10 @@ def _fwd_rule(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
 def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout, residuals, grad_out):
     x, params, seed, headmajor = residuals
     b, s, d = x.shape
+    out_dtype = x.dtype
+    if _odd_packed_slab(s, x.dtype):  # see _odd_packed_slab: fp32 slab I/O
+        x = x.astype(jnp.float32)
+        grad_out = grad_out.astype(jnp.float32)
     # the same block size as the forward keeps program_id-based dropout
     # seeding consistent between the passes
     g = _choose_block(b, s, compute_dtype)
@@ -691,7 +713,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, grad_out, *tensors)
-    dx = outs[0]
+    dx = outs[0].astype(out_dtype)
     (dln1s, dln1b, dwqkv3, dwout3, dbout, dln2s, dln2b, dw1, db1, dw2, db2) = outs[1:]
     if FULL_LANE_QKV:
         dwqkv = _from_fulllane_grad(dwqkv3, dim_head)

@@ -88,8 +88,13 @@ def main():
     print("devices:", jax.devices())
     rng = np.random.default_rng(0)
     params = make_params(rng)
-    for (B, S) in [(1280, 64), (4096, 20)]:
-        x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    # (4096, 5) = the Houston2018 spectral geometry (50 bands -> 5 blocks),
+    # run with bf16 activations as production does: regression-pins the
+    # odd-seq fp32 slab-I/O routing (fused_layer._odd_packed_slab) on real
+    # Mosaic lowering, which CPU interpret cannot check
+    for (B, S, dt) in [(1280, 64, jnp.float32), (4096, 20, jnp.float32),
+                       (4096, 5, jnp.bfloat16)]:
+        x = jnp.asarray(rng.standard_normal((B, S, D)), dt)
         fused = lambda c: fused_transformer_layer(c, params, 7, H, DH)
         yf = jax.jit(fused)(x)
         yx = jax.jit(xla_layer)(x, params)
@@ -101,7 +106,9 @@ def main():
         gerr = float(jnp.max(jnp.abs(gf - gx)))
         gref = float(jnp.max(jnp.abs(gx)))
         print(f"({B},{S}): fwd maxerr {ferr:.2e}  dx maxerr {gerr:.2e} (rel {gerr/max(gref,1e-9):.2e})")
-        assert ferr < 5e-3 and gerr / max(gref, 1e-9) < 1e-2
+        # bf16 activations round both sides to ~2^-8 relative resolution
+        tol = (5e-3, 1e-2) if dt == jnp.float32 else (5e-2, 5e-2)
+        assert ferr < tol[0] and gerr / max(gref, 1e-9) < tol[1]
 
         f_tr = jax.jit(lambda c: fused_transformer_layer(c, params, 11, H, DH, jnp.bfloat16, 0.1, True))
         y1, y2 = f_tr(x), f_tr(x)

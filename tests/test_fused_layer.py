@@ -402,3 +402,48 @@ def test_fused_layer_guards():
             x, params, jnp.int32(0), 1, 8, dropout_rate=1.0, train=True,
             interpret=True,
         )
+
+
+def test_odd_seq_bf16_slab_routes_through_fp32():
+    """Houston2018 spectral geometry (50 bands -> 5 blocks: seq 5, bf16
+    activations). Mosaic rejects the (g, 5, d) bf16 slab shape-cast (odd seq
+    crosses the packed sublane pair — probed on v5e), so the entry routes
+    such slabs through fp32 kernel I/O (fused_layer._odd_packed_slab).
+    Values must be bit-identical to the fp32-input path and match the XLA
+    oracle; the gradient must come back in the input dtype."""
+    from maskedsst_tpu.ops.fused_layer import _odd_packed_slab
+
+    assert _odd_packed_slab(5, jnp.bfloat16)
+    assert not _odd_packed_slab(6, jnp.bfloat16)
+    assert not _odd_packed_slab(5, jnp.float32)
+    assert not _odd_packed_slab(20, jnp.bfloat16)
+
+    p = _params()
+    x32 = jax.random.normal(jax.random.PRNGKey(7), (8, 5, D))
+    xbf = x32.astype(jnp.bfloat16)
+
+    got = _fused(xbf, p)
+    assert got.dtype == jnp.bfloat16
+    want = _reference_layer(xbf.astype(jnp.float32), p, H, DH, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=0.05, rtol=0.05
+    )
+    # identical to running the kernel on the fp32 upcast directly
+    same = _fused(xbf.astype(jnp.float32), p)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32),
+        np.asarray(same.astype(jnp.bfloat16), np.float32),
+    )
+
+    def loss(x, p):
+        return (_fused(x, p).astype(jnp.float32) ** 2).mean()
+
+    gx, gp = jax.grad(loss, argnums=(0, 1))(xbf, p)
+    assert gx.dtype == jnp.bfloat16
+    gx_r = jax.grad(
+        lambda x, p: (_reference_layer(x, p, H, DH, jnp.float32) ** 2).mean(),
+        argnums=0,
+    )(xbf.astype(jnp.float32), p)
+    np.testing.assert_allclose(
+        np.asarray(gx, np.float32), np.asarray(gx_r), atol=0.05, rtol=0.1
+    )
