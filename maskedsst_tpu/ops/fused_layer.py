@@ -84,6 +84,39 @@ def _bdot(a, b, dims, compute_dtype):
 # the head-major form. Flip BEFORE tracing.
 FULL_LANE_QKV = True
 
+# Same trick for the output projection: stage the per-head attention
+# outputs into a [GS, I] VMEM scratch (8 lane-slice stores) and take ONE
+# full-lane [GS, I] x [I, D] matmul against the canonical wout, instead of
+# the head-major batched [H, GS, dh] x [H, dh, D] contraction + a VPU sum
+# pass over the [H, GS, D] per-head products (8x the token slab). The
+# backward mirrors it: dwout/dO become full-lane matmuls against the [GS, I]
+# staging buffers.
+#
+# Unlike FULL_LANE_QKV this is a split decision, so the default is a
+# measured per-kernel rule ("auto"). Device A/B (kernel_tune, v5e,
+# ms/layer, head-major-proj → full-lane-proj, FULL_LANE_QKV on in both):
+#   spatial  g16 fwd 1.065→1.212  fwdbwd 3.176→3.351   (worse everywhere)
+#   spatial  g32 fwd 1.077→1.160  fwdbwd 3.489→3.632
+#   spectral g32 fwd 1.168→1.230  fwdbwd 4.359→3.852
+#   spectral g16 fwd 1.351→1.342  fwdbwd 4.526→4.068
+# Decomposed (fwdbwd − fwd): the WIN is entirely in the spectral backward
+# (3.191→2.622, −18%); every standalone forward and all of spatial prefer
+# head-major. Dropout masks are seeded structurally (site id + global block
+# index, not call order), so the forward and backward kernels may choose
+# different proj forms without breaking mask agreement. "auto" = full-lane
+# in the backward kernel at short sequences (seq < 32), head-major
+# elsewhere. True/False force one form in both kernels (kernel_tune
+# --full-lane-proj / --head-major-proj).
+FULL_LANE_PROJ = "auto"
+
+
+def _proj_full_lane(seq: int, bwd: bool) -> bool:
+    """Resolve the output-projection form for one kernel (see
+    FULL_LANE_PROJ)."""
+    if FULL_LANE_PROJ == "auto":
+        return bwd and seq < 32
+    return bool(FULL_LANE_PROJ)
+
 # dropout site ids (distinct constants mixed into the PRNG seed)
 _SITE_ATTN = 1
 _SITE_PROJ = 3
@@ -363,10 +396,10 @@ def _layer_fwd_kernel(
     x = x_ref[:].reshape(g * s, d).astype(jnp.float32)
 
     h = _ln(x, ln1s_ref[:], ln1b_ref[:])
+    qkv_s, _, o_s, _ = _parse_scratch(scratch, proj_fl=_proj_full_lane(seq, bwd=False))
     o_heads, _ = _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype,
-                           qkv_scratch=scratch or None)
-    proj = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0)  # [GS, D]
-    proj = proj + bout_ref[:].astype(jnp.float32)
+                           qkv_scratch=qkv_s)
+    proj = _proj_fwd(o_heads, wout3_ref, bout_ref, o_s, heads, dim_head, compute_dtype)
     if proj_dropout:
         proj = drop.apply(proj, _SITE_PROJ)
     x = x + proj
@@ -399,13 +432,15 @@ def _layer_bwd_kernel(
     dy = dy_ref[:].reshape(gs, d).astype(jnp.float32)
 
     # ---- recompute forward (identical masks regenerate from the PRNG) -----
+    qkv_s, dqkv_s, o_s, dO_s = _parse_scratch(
+        scratch, bwd=True, proj_fl=_proj_full_lane(seq, bwd=True))
     h1, z1, rsig1 = _ln_fwd_stats(x0, ln1s_ref[:], ln1b_ref[:])
     o_heads, cache = _attn_fwd(
         h1, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype, want_cache=True,
-        qkv_scratch=scratch[:3] if scratch else None,
+        qkv_scratch=qkv_s,
     )
     q, k, v, a, a_d, a_mask = cache
-    p1 = jnp.sum(_bmm(o_heads, wout3_ref[:], compute_dtype), axis=0) + bout_ref[:].astype(jnp.float32)
+    p1 = _proj_fwd(o_heads, wout3_ref, bout_ref, o_s, heads, dim_head, compute_dtype)
     proj_mask = drop.mask(p1.shape, _SITE_PROJ) if proj_dropout else None
     if proj_mask is not None:
         p1 = p1 * proj_mask
@@ -432,9 +467,18 @@ def _layer_bwd_kernel(
 
     dp1 = dx1 * proj_mask if proj_mask is not None else dx1
     dbout = jnp.sum(dp1, axis=0)
-    dp1b = jnp.broadcast_to(dp1[None], (heads, gs, d))
-    dwout3 = _bmm(o_heads, dp1b, compute_dtype, trans_a=True)  # [H, dh, D]
-    dOh = _bmm(dp1b, wout3_ref[:], compute_dtype, trans_b=True)  # [H, GS, dh]
+    if o_s is not None:
+        # full-lane: o is already staged in the [GS, I] scratch from the
+        # recompute; dwout and dO are single full-lane matmuls
+        dwout3 = _mm(o_s[:], dp1, compute_dtype, trans_a=True)  # [I, D]
+        dO_flat = _mm(dp1, wout3_ref[:], compute_dtype, trans_b=True)  # [GS, I]
+        for hh in range(heads):
+            dO_s[hh] = dO_flat[:, hh * dim_head : (hh + 1) * dim_head].astype(dO_s.dtype)
+        dOh = dO_s[:]
+    else:
+        dp1b = jnp.broadcast_to(dp1[None], (heads, gs, d))
+        dwout3 = _bmm(o_heads, dp1b, compute_dtype, trans_a=True)  # [H, dh, D]
+        dOh = _bmm(dp1b, wout3_ref[:], compute_dtype, trans_b=True)  # [H, GS, dh]
 
     # folded layout matches _attn_fwd; off-diagonal blocks of `a` are exactly
     # 0 (softmax of -1e30), which zeroes `ds` there — no explicit mask needed
@@ -449,10 +493,9 @@ def _layer_bwd_kernel(
     dq = _bmm(ds, k, compute_dtype)  # [HG/f, fS, dh]
     dk = _bmm(ds, q, compute_dtype, trans_a=True)
 
-    if scratch:
+    if dqkv_s is not None:
         # full-lane: stage per-head grads into a [GS, 3I] scratch, then one
         # full-K/full-lane matmul pair for the weight grad and dh1
-        dqkv_s = scratch[3]
         i = heads * dim_head
         dqh = dq.reshape(heads, gs, dim_head)
         dkh = dk.reshape(heads, gs, dim_head)
@@ -578,27 +621,76 @@ def fused_transformer_layer(
 
 
 def _prep_weights(params, heads, dim_head):
-    """(QKV weight repr, head-major out-proj) per the FULL_LANE_QKV switch."""
+    """(QKV weight repr, CANONICAL [I, D] out-proj) — the out-proj repr a
+    given kernel consumes is picked per call in :func:`_kernel_inputs`,
+    because under FULL_LANE_PROJ="auto" the forward and backward kernels
+    use different forms (the reshape to head-major is a free leading-dim
+    split in XLA)."""
     if FULL_LANE_QKV:
-        return _to_fulllane(params, dim_head), params.wout.reshape(heads, dim_head, -1)
-    return _to_headmajor(params, heads, dim_head)
+        wqkv = _to_fulllane(params, dim_head)
+    else:
+        wqkv = _to_headmajor(params, heads, dim_head)[0]
+    return wqkv, params.wout
 
 
-def _qkv_scratch_shapes(g, s, heads, dim_head, compute_dtype, bwd=False):
-    """VMEM scratch for the full-lane QKV staging (empty when switch off):
-    q/k/v head-major [H, GS, dh] + (bwd) the [GS, 3I] grad-staging buffer."""
-    if not FULL_LANE_QKV:
-        return []
-    shapes = [pltpu.VMEM((heads, g * s, dim_head), compute_dtype)] * 3
-    if bwd:
-        shapes.append(pltpu.VMEM((g * s, 3 * heads * dim_head), compute_dtype))
+def _scratch_shapes(g, s, heads, dim_head, compute_dtype, bwd=False, proj_fl=False):
+    """VMEM scratch for the full-lane stagings (empty when both forms are
+    head-major). QKV: q/k/v head-major [H, GS, dh] + (bwd) the [GS, 3I]
+    grad-staging buffer. Proj (when ``proj_fl``): the [GS, I]
+    attention-output staging buffer + (bwd) the [H, GS, dh] dO staging
+    buffer. Order must match :func:`_parse_scratch`."""
+    gs, i = g * s, heads * dim_head
+    shapes = []
+    if FULL_LANE_QKV:
+        shapes += [pltpu.VMEM((heads, gs, dim_head), compute_dtype)] * 3
+        if bwd:
+            shapes.append(pltpu.VMEM((gs, 3 * i), compute_dtype))
+    if proj_fl:
+        shapes.append(pltpu.VMEM((gs, i), compute_dtype))
+        if bwd:
+            shapes.append(pltpu.VMEM((heads, gs, dim_head), compute_dtype))
     return shapes
 
 
-def _kernel_inputs(params, seed, heads, dim_head, headmajor=None):
-    wqkv3, wout3 = headmajor if headmajor is not None else _prep_weights(
+def _parse_scratch(scratch, bwd=False, proj_fl=False):
+    """Split the flat kernel scratch tuple per the full-lane switches →
+    (qkv_scratch, dqkv_s, o_s, dO_s), any of which may be None."""
+    idx = 0
+    qkv = dqkv = o_s = dO_s = None
+    if FULL_LANE_QKV:
+        qkv = scratch[idx : idx + 3]
+        idx += 3
+        if bwd:
+            dqkv = scratch[idx]
+            idx += 1
+    if proj_fl:
+        o_s = scratch[idx]
+        idx += 1
+        if bwd:
+            dO_s = scratch[idx]
+            idx += 1
+    return qkv, dqkv, o_s, dO_s
+
+
+def _proj_fwd(o_heads, wout_ref, bout_ref, o_s, heads, dim_head, compute_dtype):
+    """Attention output projection → [GS, D] (+bias). Full-lane form when
+    ``o_s`` is given: lane-slice-stage heads into [GS, I], one [GS, I] x
+    [I, D] matmul against the canonical wout; else head-major batched
+    contraction + sum over heads."""
+    if o_s is not None:
+        for hh in range(heads):
+            o_s[:, hh * dim_head : (hh + 1) * dim_head] = o_heads[hh].astype(o_s.dtype)
+        p = _mm(o_s[:], wout_ref[:], compute_dtype)
+    else:
+        p = jnp.sum(_bmm(o_heads, wout_ref[:], compute_dtype), axis=0)
+    return p + bout_ref[:].astype(jnp.float32)
+
+
+def _kernel_inputs(params, seed, heads, dim_head, headmajor=None, proj_fl=False):
+    wqkv3, wout = headmajor if headmajor is not None else _prep_weights(
         params, heads, dim_head
     )
+    wout3 = wout if proj_fl else wout.reshape(heads, dim_head, -1)
     tensors = (
         params.ln1_scale, params.ln1_bias, wqkv3, wout3, params.bout,
         params.ln2_scale, params.ln2_bias, params.w1, params.b1,
@@ -635,7 +727,9 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
         proj_dropout=proj_dropout,
     )
-    seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor)
+    proj_fl = _proj_full_lane(s, bwd=False)
+    seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor,
+                                       proj_fl=proj_fl)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
@@ -644,7 +738,8 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         + [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
         + _param_specs(),
         out_specs=pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=_qkv_scratch_shapes(g, s, heads, dim_head, compute_dtype),
+        scratch_shapes=_scratch_shapes(g, s, heads, dim_head, compute_dtype,
+                                       proj_fl=proj_fl),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, *tensors)
@@ -679,7 +774,9 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
         proj_dropout=proj_dropout,
     )
-    seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor)
+    proj_fl = _proj_full_lane(s, bwd=True)
+    seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor,
+                                       proj_fl=proj_fl)
     grad_shapes = [
         jax.ShapeDtypeStruct(params.ln1_scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln1_bias.shape, jnp.float32),
@@ -687,7 +784,10 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
             (d, 3 * heads * dim_head) if FULL_LANE_QKV else (heads, d, 3 * dim_head),
             jnp.float32,
         ),
-        jax.ShapeDtypeStruct((heads, dim_head, d), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (heads * dim_head, d) if proj_fl else (heads, dim_head, d),
+            jnp.float32,
+        ),
         jax.ShapeDtypeStruct(params.bout.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln2_scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(params.ln2_bias.shape, jnp.float32),
@@ -709,7 +809,8 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         + [pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 2
         + _param_specs(),
         out_specs=tuple(out_specs),
-        scratch_shapes=_qkv_scratch_shapes(g, s, heads, dim_head, compute_dtype, bwd=True),
+        scratch_shapes=_scratch_shapes(g, s, heads, dim_head, compute_dtype,
+                                       bwd=True, proj_fl=proj_fl),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(seed_arr, x, grad_out, *tensors)
@@ -717,9 +818,11 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
     (dln1s, dln1b, dwqkv3, dwout3, dbout, dln2s, dln2b, dw1, db1, dw2, db2) = outs[1:]
     if FULL_LANE_QKV:
         dwqkv = _from_fulllane_grad(dwqkv3, dim_head)
-        dwout = dwout3.reshape(heads * dim_head, -1)
     else:
-        dwqkv, dwout = _from_headmajor_grads(dwqkv3, dwout3, heads, dim_head)
+        dwqkv = _from_headmajor_grads(dwqkv3, dwout3.reshape(heads, dim_head, -1)
+                                      if proj_fl else dwout3,
+                                      heads, dim_head)[0]
+    dwout = dwout3 if proj_fl else dwout3.reshape(heads * dim_head, -1)
     gp = LayerParams(
         ln1_scale=dln1s.astype(params.ln1_scale.dtype),
         ln1_bias=dln1b.astype(params.ln1_bias.dtype),

@@ -81,6 +81,14 @@ def main() -> None:
         "--head-major", action="store_true",
         help="force the head-major batched QKV form (the A/B control)")
     ap.add_argument(
+        "--head-major-proj", action="store_true",
+        help="force the head-major batched output-projection form in BOTH "
+        "kernels (A/B control; default is the measured per-kernel 'auto' "
+        "rule)")
+    ap.add_argument(
+        "--full-lane-proj", action="store_true",
+        help="force the full-lane output-projection form in BOTH kernels")
+    ap.add_argument(
         "--eval", action="store_true",
         help="measure the DETERMINISTIC serving forward (train=False, "
         "forces dropout 0 — the eval_fwd block-size path); without this, "
@@ -102,6 +110,10 @@ def main() -> None:
         fl.FULL_LANE_QKV = True
     elif args.head_major:
         fl.FULL_LANE_QKV = False
+    if args.head_major_proj:
+        fl.FULL_LANE_PROJ = False
+    elif args.full_lane_proj:
+        fl.FULL_LANE_PROJ = True
 
     rng = np.random.default_rng(0)
 

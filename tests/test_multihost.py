@@ -66,7 +66,10 @@ def _results(procs) -> dict:
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=420)
+            # generous: workers compile Pallas kernels on CPU and the suite
+            # may share the host with other jobs (a 420 s limit flaked once
+            # under a concurrent full-suite + TPU-bench load)
+            stdout, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
