@@ -447,3 +447,36 @@ def test_odd_seq_bf16_slab_routes_through_fp32():
     np.testing.assert_allclose(
         np.asarray(gx, np.float32), np.asarray(gx_r), atol=0.05, rtol=0.1
     )
+
+
+def test_proj_form_auto_rule():
+    """FULL_LANE_PROJ='auto' resolves per kernel: full-lane only in the
+    backward at short sequences (the measured split decision — see the
+    A/B table at fused_layer.FULL_LANE_PROJ). Pins the rule so a refactor
+    cannot silently flip a production kernel onto the losing form."""
+    from maskedsst_tpu.ops import fused_layer as fl
+
+    assert fl.FULL_LANE_PROJ == "auto"
+    assert fl._proj_full_lane(20, bwd=True)       # spectral train bwd: FL
+    assert not fl._proj_full_lane(20, bwd=False)  # spectral fwd: head-major
+    assert not fl._proj_full_lane(64, bwd=True)   # spatial bwd: head-major
+    assert not fl._proj_full_lane(64, bwd=False)
+    assert fl._proj_full_lane(5, bwd=True)        # Houston spectral bwd: FL
+
+    # forced modes override per-kernel resolution (kernel_tune A/B controls)
+    old = fl.FULL_LANE_PROJ
+    try:
+        fl.FULL_LANE_PROJ = True
+        assert fl._proj_full_lane(64, bwd=False)
+        fl.FULL_LANE_PROJ = False
+        assert not fl._proj_full_lane(20, bwd=True)
+    finally:
+        fl.FULL_LANE_PROJ = old
+
+    # scratch layout stays consistent with the parse on both switches
+    shapes_fwd = fl._scratch_shapes(8, 20, 8, 64, jnp.bfloat16, proj_fl=True)
+    shapes_bwd = fl._scratch_shapes(8, 20, 8, 64, jnp.bfloat16, bwd=True, proj_fl=True)
+    n_qkv_fwd = 3 if fl.FULL_LANE_QKV else 0
+    n_qkv_bwd = 4 if fl.FULL_LANE_QKV else 0
+    assert len(shapes_fwd) == n_qkv_fwd + 1
+    assert len(shapes_bwd) == n_qkv_bwd + 2
