@@ -18,6 +18,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import shutil
 import sys
 from collections import defaultdict
@@ -88,6 +89,11 @@ def main() -> None:
     ap.add_argument(
         "--full-lane-proj", action="store_true",
         help="force the full-lane output-projection form in BOTH kernels")
+    ap.add_argument(
+        "--assert-regression", action="store_true",
+        help="after the sweep, check the production configurations against "
+        "BASELINE.md's regression thresholds and exit non-zero on a trip "
+        "(run with --gs 16,32 --modes fwd,fwdbwd)")
     ap.add_argument(
         "--eval", action="store_true",
         help="measure the DETERMINISTIC serving forward (train=False, "
@@ -217,6 +223,37 @@ def main() -> None:
     print("\n== summary (ms per layer call chain-amortized) ==")
     for label, ms, _ in sorted(results, key=lambda r: r[0]):
         print(f"{ms:8.3f}  {label}")
+
+    if args.assert_regression:
+        # thresholds from BASELINE.md's roofline appendix (≥8% over the
+        # round-3 device-time numbers at the production block sizes; trace
+        # timings are deterministic to ±0.001 ms, so a trip is a real
+        # regression, not chip noise)
+        limits = {
+            ("spatial", 16, "fwd"): 1.15,
+            ("spatial", 16, "fwdbwd"): 3.43,
+            ("spectral", 32, "fwd"): 1.27,
+            ("spectral", 32, "fwdbwd"): 4.11,
+        }
+        failures = []
+        checked = 0
+        for label, ms, _ in results:
+            m = re.match(r"(\w+) g=\s*(\d+) f=\S+ (\w+)", label)
+            key = (m.group(1), int(m.group(2)), m.group(3))
+            lim = limits.get(key)
+            if lim is None:
+                continue
+            checked += 1
+            status = "ok" if ms <= lim else "REGRESSION"
+            print(f"regression check {key}: {ms:.3f} ms <= {lim} ... {status}")
+            if ms > lim:
+                failures.append((key, ms, lim))
+        if not checked:
+            sys.exit("--assert-regression: no checked configuration was "
+                     "measured (run with --gs 16,32 --modes fwd,fwdbwd)")
+        if failures:
+            sys.exit(f"kernel perf regression: {failures}")
+        print("regression check: all measured configurations within bounds")
 
 
 if __name__ == "__main__":
