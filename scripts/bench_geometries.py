@@ -47,12 +47,16 @@ def device_total_ms(logdir: str) -> float:
         and e.get("name") == "process_name"
         and "/device:" in e["args"].get("name", "")
     }
+    # control-flow envelopes (the superstep's `while`) CONTAIN their body
+    # ops in the trace — summing them double-counts every inner op
+    # (detected round 3: the Houston leg reported device > wall)
     return sum(
         e.get("dur", 0.0) / 1e3
         for e in events
         if e.get("ph") == "X"
         and e.get("pid") in device_pids
-        and e.get("args", {}).get("hlo_category") is not None
+        and e.get("args", {}).get("hlo_category")
+        not in (None, "while", "conditional", "call")
     )
 
 
