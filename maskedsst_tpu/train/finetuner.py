@@ -243,6 +243,9 @@ class Finetuner:
         rng, crop_rng, drop_rng = jax.random.split(state.rng, 3)
         img, label = self._prep(img, label, crop_rng, crop=crop, shifting_window=shifting_window)
         img, label = self._pad_batch(img, label)
+        return self._apply_update(state, img, label, rng, drop_rng)
+
+    def _apply_update(self, state: TrainState, img, label, rng, drop_rng):
         (loss, logits), grads = jax.value_and_grad(self._forward_loss, has_aux=True)(
             state.params, img, label, drop_rng, True
         )
@@ -297,7 +300,50 @@ class Finetuner:
         label = jax.lax.with_sharding_constraint(label, self._batch_shard)
         return img, label
 
+    def _gather_crop_batch(self, imgs, labels, idx, xy, s: int):
+        """Fused gather + crop from the HBM store: reads only the
+        [B, C, s, s] crop windows (and the [B, s, s] label windows) instead
+        of whole tiles — the Pretrainer._gather_crop trick (full 64x64
+        tiles move ~64x the bytes; measured ~7 ms/step of gather+copy at
+        the EnMAP finetune recipe, bs 64)."""
+        c = imgs.shape[1]
+        safe = jnp.maximum(idx, 0)
+
+        def one_img(i):
+            return jax.lax.dynamic_slice(imgs, (i, 0, xy[0], xy[1]), (1, c, s, s))[0]
+
+        img = jax.vmap(one_img)(safe)
+        img = jax.lax.with_sharding_constraint(img, self._batch_shard)
+
+        def one_lab(i):
+            return jax.lax.dynamic_slice(labels, (i, xy[0], xy[1]), (1, s, s))[0]
+
+        label = jax.vmap(one_lab)(safe)
+        pad_shape = (idx >= 0).reshape((-1,) + (1,) * (label.ndim - 1))
+        label = jnp.where(pad_shape, label, self.config.ignored_label)
+        label = jax.lax.with_sharding_constraint(label, self._batch_shard)
+        return img, label
+
     def _step_idx(self, state, imgs, labels, idx, *, crop: bool, shifting_window: bool):
+        if crop and not shifting_window and labels.ndim == 3:
+            # replicate _step's key/draw order and _prep's crop arithmetic
+            # exactly, so this path reproduces the direct-batch trajectory
+            # bit-for-bit (pinned by test_finetuner_step_idx_matches_step)
+            rng, crop_rng, drop_rng = jax.random.split(state.rng, 3)
+            s = self.config.image_size - self.config.get("patch_sub", 0)
+            hi = max(
+                self.tile_size
+                - self.config.image_size
+                - self.config.get("patch_sub", 0),
+                1,
+            )
+            xy = jax.random.randint(crop_rng, (2,), 0, hi)
+            img, label = self._gather_crop_batch(imgs, labels, idx, xy, s)
+            if self.center_pixel and label.ndim == 3:
+                center = s // 2
+                label = label[:, center, center]
+            img, label = self._pad_batch(img, label)
+            return self._apply_update(state, img, label, rng, drop_rng)
         img, label = self._gather_batch(imgs, labels, idx)
         return self._step(state, img, label, crop=crop, shifting_window=shifting_window)
 

@@ -133,6 +133,9 @@ def bench_finetune_enmap(steps: int, batch: int = None) -> None:
     from maskedsst_tpu.train.finetuner import Finetuner
     from maskedsst_tpu.utils.profiling import trace
 
+    from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+
     config = get_finetune_config(
         "configs/finetune_config_enmap.yaml", "configs/config.yaml"
     )
@@ -140,23 +143,36 @@ def bench_finetune_enmap(steps: int, batch: int = None) -> None:
         config.batch_size = batch
     model, kwargs = build_finetune_model(config)
     ft = Finetuner(config, model, **kwargs)
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(
-        rng.standard_normal((config.batch_size, config.n_bands, 64, 64)), jnp.float32
+
+    # drive the SAME path fit() uses for HBM-resident data: superstep scans
+    # of `steps` train steps per dispatch over a DeviceTileStore (a
+    # per-dispatch _train_step loop would measure the ~27 ms tunnel RTT,
+    # not the trainer — that is how this bench originally understated the
+    # reference-recipe bs-2 number by ~5x)
+    dataset = SyntheticCubeDataset(
+        num_tiles=max(256, 2 * config.batch_size),
+        n_bands=config.n_bands,
+        n_classes=config.n_classes,
+        labeled=True,
     )
-    label = jnp.asarray(rng.integers(0, config.n_classes, (config.batch_size, 32, 32)), jnp.int32)
+    store = DeviceTileStore(dataset, ft.mesh)
+    batcher = IndexBatcher(
+        len(store), config.batch_size, shuffle=True, drop_last=True, seed=0
+    )
+    chunks: list = []
+    while len(chunks) < steps:
+        chunks.extend(list(batcher))
+    idx = jnp.asarray(np.stack(chunks[:steps]))
+    imgs, labels = store.arrays["img"], store.arrays["label"]
 
     state = ft.state
-    state, metrics = ft._train_step(state, img, label)
-    _ = float(metrics["loss"])  # compile + warm
+    state, metrics = ft._train_superstep(state, imgs, labels, idx)
+    _ = float(np.asarray(metrics["loss"])[-1])  # compile + warm
     times = []
-    for _i in range(3):
+    for _i in range(4):
         t0 = time.perf_counter()
-        s = state
-        for _k in range(steps):
-            s, metrics = ft._train_step(s, img, label)
-        _ = float(metrics["loss"])
-        state = s
+        state, metrics = ft._train_superstep(state, imgs, labels, idx)
+        _ = float(np.asarray(metrics["loss"])[-1])
         times.append(time.perf_counter() - t0)
     times.sort()
     wall = times[len(times) // 2]
@@ -164,10 +180,8 @@ def bench_finetune_enmap(steps: int, batch: int = None) -> None:
     logdir = "/tmp/bench_geo/finetune"
     shutil.rmtree(logdir, ignore_errors=True)
     with trace(logdir, timeout_s=30.0) as info:
-        s = state
-        for _k in range(steps):
-            s, metrics = ft._train_step(s, img, label)
-        _ = float(metrics["loss"])
+        state, metrics = ft._train_superstep(state, imgs, labels, idx)
+        _ = float(np.asarray(metrics["loss"])[-1])
     dev = device_total_ms(logdir) if info["traced"] else float("nan")
     _emit(
         f"finetune_enmap_bs{config.batch_size}_cubes_per_sec_per_chip",
@@ -193,8 +207,8 @@ def main() -> None:
             # the recipe's own batch (2, finetune_config_enmap.yaml) is
             # dispatch-bound; also measure batch 64 for a device-saturating
             # number comparable to the pretrain bench
-            bench_finetune_enmap(max(8, args.steps // 8))
-            bench_finetune_enmap(max(8, args.steps // 8), batch=64)
+            bench_finetune_enmap(max(8, args.steps // 2))
+            bench_finetune_enmap(max(8, args.steps // 2), batch=64)
         else:
             raise SystemExit(f"unknown workload {w}")
 

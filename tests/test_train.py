@@ -753,3 +753,54 @@ def test_graft_entry_uses_no_private_jax_api():
     import __graft_entry__
 
     assert "jax._src" not in inspect.getsource(__graft_entry__)
+
+
+def test_finetuner_step_idx_matches_step():
+    """The fused gather+crop idx path (Finetuner._step_idx over an
+    HBM-resident store) must reproduce the direct-batch _train_step
+    trajectory bit-for-bit: same RNG draw order, same crop window, same
+    padding semantics. Guards the round-3 gather+crop fusion (whole-tile
+    gathers measured ~7 ms/step of wasted HBM reads at the EnMAP recipe)."""
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    cfg.n_bands, cfg.transformer_dim = 40, 24
+    cfg.transformer_depth, cfg.transformer_n_heads = 2, 2
+    cfg.transformer_mlp_dim = 16
+    cfg.spectral_pos = [0, 1, 2, 3]
+    cfg.transformer_dropout = 0.0
+    cfg.transformer_emb_dropout = 0.0
+    cfg.batch_size = 8
+    assert not cfg.get("shifting_window", False)  # the random-crop recipe
+
+    model, kw = build_finetune_model(cfg)
+    tr = Finetuner(cfg, model, **kw)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((16, 40, 64, 64)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg.n_classes, (16, 64, 64)), jnp.int32)
+    idx = jnp.asarray([3, 7, 1, 0, 15, 9, 2, 11], jnp.int32)
+
+    # both steps donate their state argument — give each a fresh copy
+    state_a = jax.tree.map(jnp.array, tr.state)
+    state_b = jax.tree.map(jnp.array, tr.state)
+
+    # direct path: gather whole tiles on host, call _train_step
+    img = jnp.take(imgs, idx, axis=0)
+    label = jnp.take(labels, idx, axis=0)
+    s_direct, m_direct = tr._train_step(state_a, img, label)
+
+    s_idx, m_idx = tr._train_step_idx(state_b, imgs, labels, idx)
+
+    np.testing.assert_array_equal(
+        np.asarray(m_direct["loss"]), np.asarray(m_idx["loss"])
+    )
+    import jax.tree_util as jtu
+
+    for (pa, a), (pb, b) in zip(
+        jtu.tree_leaves_with_path(s_direct.params),
+        jtu.tree_leaves_with_path(s_idx.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
