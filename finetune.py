@@ -4,7 +4,7 @@
 Usage (reference-compatible positional dataset name):
 
   python finetune.py {enmap|houston2018} [--synthetic] [--epochs N]
-                     [--steps N] [--checkpoint PATH|none] [--cpu]
+                     [--steps N] [--checkpoint PATH|none] [--cpu] [--bf16]
 
 The model comes from ``method_name`` in the finetune config (li /
 ViTSpatialSpectral / ViTRGB). ``--checkpoint`` overrides the config's
@@ -32,6 +32,9 @@ def main() -> None:
     parser.add_argument("--checkpoint", default=None, help="'none' disables loading")
     parser.add_argument("--models-dir", default="models")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--bf16", action="store_true", help="bfloat16 compute (fp32 params)"
+    )
     args = parser.parse_args()
 
     import jax
@@ -62,8 +65,12 @@ def main() -> None:
 
     from maskedsst_tpu.parallel.mesh import get_mesh
 
+    import jax.numpy as jnp
+
     mesh = get_mesh()
-    model, trainer_kwargs = build_finetune_model(config, mesh=mesh)
+    model, trainer_kwargs = build_finetune_model(
+        config, mesh=mesh, dtype=jnp.bfloat16 if args.bf16 else None
+    )
 
     params = None
     ckpt_path = config.get("checkpoint_path")

@@ -27,6 +27,9 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--bf16", action="store_true", help="bfloat16 compute (fp32 params)"
+    )
     args = parser.parse_args()
 
     import jax
@@ -82,8 +85,12 @@ def main() -> None:
     from maskedsst_tpu.parallel.mesh import get_mesh
     from maskedsst_tpu.train.factory import load_pretrained_params
 
+    import jax.numpy as jnp
+
     mesh = get_mesh()
-    model, trainer_kwargs = build_finetune_model(config, mesh=mesh)
+    model, trainer_kwargs = build_finetune_model(
+        config, mesh=mesh, dtype=jnp.bfloat16 if args.bf16 else None
+    )
 
     # load the pretrained encoder like the reference sweep driver does
     # (src/finetune_sweep.py:99-100); checkpoint_path may have been coerced

@@ -25,13 +25,17 @@ def check_fused_mesh(fused: bool, mesh) -> None:
 
 
 def build_finetune_model(
-    config: Config, mesh=None
+    config: Config, mesh=None, dtype=None
 ) -> Tuple[Any, Dict[str, Any]]:
     """Returns (model, trainer_kwargs) for Finetuner.
 
     trainer_kwargs carries: center_pixel, add_channel_dim, optimizer_override
     (the li SGD recipe unless ``overwrite_li_optim``), class_weights.
     ``mesh`` routes the fused kernels' explicit data-axis shard_map.
+    ``dtype`` is the flax computation dtype for the ViT models (params stay
+    fp32; bf16 halves the fused kernels' slab DMA — the same opt-in
+    ``--bf16`` convention as pretrain.py; the li 3D-CNN ignores it, keeping
+    the paper recipe in fp32).
     """
     name = config.method_name
     size = config.image_size - config.get("patch_sub", 0)
@@ -82,6 +86,7 @@ def build_finetune_model(
             pos_embed_len=config.get("pos_embed_len"),
             fused=fused,
             mesh=mesh if fused else None,
+            dtype=dtype,
         )
         return model, {"center_pixel": bool(config.pixelwise)}
 
@@ -98,6 +103,7 @@ def build_finetune_model(
             emb_dropout=config.transformer_emb_dropout,
             channels=config.n_bands,
             pixelwise=True,  # one prediction per pixel (finetune.py:98)
+            dtype=dtype,
         )
         return model, {}
 

@@ -124,7 +124,7 @@ def bench_houston_pretrain(steps: int) -> None:
     )
 
 
-def bench_finetune_enmap(steps: int, batch: int = None) -> None:
+def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> None:
     import jax.numpy as jnp
     import numpy as np
 
@@ -141,7 +141,9 @@ def bench_finetune_enmap(steps: int, batch: int = None) -> None:
     )
     if batch is not None:
         config.batch_size = batch
-    model, kwargs = build_finetune_model(config)
+    model, kwargs = build_finetune_model(
+        config, dtype=jnp.bfloat16 if bf16 else None
+    )
     ft = Finetuner(config, model, **kwargs)
 
     # drive the SAME path fit() uses for HBM-resident data: superstep scans
@@ -183,8 +185,9 @@ def bench_finetune_enmap(steps: int, batch: int = None) -> None:
         state, metrics = ft._train_superstep(state, imgs, labels, idx)
         _ = float(np.asarray(metrics["loss"])[-1])
     dev = device_total_ms(logdir) if info["traced"] else float("nan")
+    tag = "_bf16" if bf16 else ""
     _emit(
-        f"finetune_enmap_bs{config.batch_size}_cubes_per_sec_per_chip",
+        f"finetune_enmap_bs{config.batch_size}{tag}_cubes_per_sec_per_chip",
         steps * config.batch_size / wall / ft.mesh.devices.size,
         dev, steps,
     )
@@ -206,9 +209,12 @@ def main() -> None:
         elif w == "finetune_enmap":
             # the recipe's own batch (2, finetune_config_enmap.yaml) is
             # dispatch-bound; also measure batch 64 for a device-saturating
-            # number comparable to the pretrain bench
+            # number comparable to the pretrain bench, plus the --bf16
+            # opt-in path (the pretrain bench runs bf16 — this is the
+            # apples-to-apples finetune number)
             bench_finetune_enmap(max(8, args.steps // 2))
             bench_finetune_enmap(max(8, args.steps // 2), batch=64)
+            bench_finetune_enmap(max(8, args.steps // 2), batch=64, bf16=True)
         else:
             raise SystemExit(f"unknown workload {w}")
 

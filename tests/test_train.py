@@ -709,6 +709,48 @@ def test_linear_eval_freezes_vit_backbone(tmp_path):
     assert not bad, f"linear_eval trained backbone params: {bad}"
 
 
+def test_finetune_factory_bf16_dtype():
+    """The --bf16 opt-in (finetune.py) plumbs a computation dtype through
+    build_finetune_model into the ViT: params must STAY fp32 (flax dtype is
+    compute-only), the train step must run and produce a finite fp32 loss,
+    and the li 3-D CNN must ignore the flag (paper recipe stays fp32)."""
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = get_finetune_config(
+        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+    )
+    cfg.n_bands, cfg.transformer_dim = 40, 24
+    cfg.transformer_depth, cfg.transformer_n_heads = 2, 2
+    cfg.transformer_mlp_dim = 16
+    cfg.spectral_pos = [0, 1, 2, 3]
+    cfg.transformer_dropout = 0.0
+    cfg.transformer_emb_dropout = 0.0
+    cfg.batch_size = 8
+
+    model, kw = build_finetune_model(cfg, dtype=jnp.bfloat16)
+    assert model.dtype == jnp.bfloat16
+    tr = Finetuner(cfg, model, **kw)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((8, 40, 64, 64)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, cfg.n_classes, (8, 32, 32)), jnp.int32)
+
+    import jax.tree_util as jtu
+
+    dtypes = {jnp.asarray(p).dtype for p in jtu.tree_leaves(tr.state.params)}
+    assert dtypes == {np.dtype(np.float32)}, dtypes
+    state, metrics = tr._train_step(tr.state, img, label)
+    assert np.isfinite(float(metrics["loss"]))
+    dtypes = {jnp.asarray(p).dtype for p in jtu.tree_leaves(state.params)}
+    assert dtypes == {np.dtype(np.float32)}, dtypes
+
+    # li ignores the dtype (zoo recipe is fp32-only)
+    cfg.method_name = "li"
+    cfg.image_size, cfg.patch_sub = 5, 0
+    li_model, _ = build_finetune_model(cfg, dtype=jnp.bfloat16)
+    assert getattr(li_model, "dtype", None) != jnp.bfloat16
+
+
 def test_save_checkpoint_gated_to_process_zero(tmp_path, monkeypatch):
     """Multi-host persistence contract (VERDICT r2 weak #1): on a non-zero
     process index save_checkpoint must write NOTHING — N hosts calling it
