@@ -26,20 +26,25 @@ import numpy as np
 from flax import serialization
 
 
-def _host_leaf(leaf):
+def _host_leaf(leaf, fetch: bool = True):
     """Fetch one pytree leaf to host numpy, multi-process-safely.
 
-    Replicated or fully-addressable arrays convert directly; arrays whose
-    shards live on other hosts (e.g. a batch-sharded leaf) are assembled
-    with a ``process_allgather`` COLLECTIVE — so this must run on EVERY
-    process, in the same tree order (jax.tree.map guarantees that)."""
+    Arrays whose shards live on other hosts (e.g. a batch-sharded leaf) are
+    assembled with a ``process_allgather`` COLLECTIVE — so this must run on
+    EVERY process, in the same tree order (jax.tree.map guarantees that).
+    Replicated or fully-addressable arrays convert directly, and ONLY when
+    ``fetch`` — non-primary processes skip the device→host copy for leaves
+    that need no collective (on an N-host pod with a replicated TrainState
+    that copy is the whole params+opt_state payload, paid N-1 times per
+    save and then discarded)."""
     if not isinstance(leaf, jax.Array):
         return leaf  # python scalars / numpy pass through untouched
     if not (leaf.is_fully_addressable or leaf.is_fully_replicated):
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
-    return np.asarray(leaf)
+        gathered = multihost_utils.process_allgather(leaf, tiled=True)
+        return np.asarray(gathered) if fetch else None
+    return np.asarray(leaf) if fetch else None
 
 
 def save_checkpoint(
@@ -60,8 +65,9 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "rng": state.rng,
     } if hasattr(state, "opt_state") else {"params": state}
-    payload = jax.tree.map(_host_leaf, payload)
-    if jax.process_index() != 0:
+    primary = jax.process_index() == 0
+    payload = jax.tree.map(lambda leaf: _host_leaf(leaf, fetch=primary), payload)
+    if not primary:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # atomic writes: best_*.msgpack is overwritten in place on every new

@@ -192,6 +192,24 @@ class Finetuner:
         )
         return loss, logits
 
+    def _crop_draw(self, rng):
+        """One random crop origin per batch. Single source of truth for the
+        crop arithmetic shared by _prep (direct batches) and _step_idx (the
+        fused gather+crop HBM-store path) — the two must stay bit-identical
+        (pinned by test_finetuner_step_idx_matches_step).
+
+        The origin range deliberately reproduces the reference's
+        ``randint(0, 64 - image_size - patch_sub)`` (utils.py:614-617),
+        which under patch_sub is NARROWER than the full valid range
+        ``tile_size - s``: the last 2*patch_sub origins are never drawn.
+        Kept for trajectory parity — do not "fix" to tile_size - s."""
+        s = self.config.image_size - self.config.get("patch_sub", 0)
+        hi = max(
+            self.tile_size - self.config.image_size - self.config.get("patch_sub", 0),
+            1,
+        )
+        return s, jax.random.randint(rng, (2,), 0, hi)
+
     def _prep(self, img, label, rng, *, crop: bool, shifting_window: bool):
         s = self.config.image_size - self.config.get("patch_sub", 0)
         if crop and shifting_window:
@@ -199,9 +217,7 @@ class Finetuner:
             # (stack_image_batch, src/utils.py:451-474)
             img, label = window_tiles(img, s, label)
         elif crop:
-            # one random crop per batch (utils.py:614-628)
-            hi = max(self.tile_size - self.config.image_size - self.config.get("patch_sub", 0), 1)
-            xy = jax.random.randint(rng, (2,), 0, hi)
+            s, xy = self._crop_draw(rng)
             img = jax.lax.dynamic_slice(
                 img, (0, 0, xy[0], xy[1]), (img.shape[0], img.shape[1], s, s)
             )
@@ -330,14 +346,7 @@ class Finetuner:
             # exactly, so this path reproduces the direct-batch trajectory
             # bit-for-bit (pinned by test_finetuner_step_idx_matches_step)
             rng, crop_rng, drop_rng = jax.random.split(state.rng, 3)
-            s = self.config.image_size - self.config.get("patch_sub", 0)
-            hi = max(
-                self.tile_size
-                - self.config.image_size
-                - self.config.get("patch_sub", 0),
-                1,
-            )
-            xy = jax.random.randint(crop_rng, (2,), 0, hi)
+            s, xy = self._crop_draw(crop_rng)
             img, label = self._gather_crop_batch(imgs, labels, idx, xy, s)
             if self.center_pixel and label.ndim == 3:
                 center = s // 2

@@ -140,12 +140,22 @@ class Throughput:
 def _process_index() -> int:
     """jax.process_index(), or 0 when no backend is reachable.
 
-    Looked up at call time (not cached) so tests can monkeypatch
-    ``jax.process_index``; the except arm covers interpreters without a
-    usable jax backend (Tracker must stay constructible there)."""
+    Gated on ``jax.distributed.is_initialized()``: multi-host in this
+    framework only exists through ``initialize_multihost`` (which calls
+    ``jax.distributed.initialize``), so when the distributed runtime is
+    absent the index is 0 BY DEFINITION — and skipping the query keeps
+    Tracker construction free of backend-init side effects (the axon
+    backend can block indefinitely on a dead tunnel, and initializing it
+    under the caller would also pin the platform before a later
+    ``jax.config.update("jax_platforms", ...)``).
+
+    Looked up at call time (not cached) so tests can monkeypatch this
+    function; the except arm covers interpreters without a usable jax."""
     try:
         import jax
 
+        if not jax.distributed.is_initialized():
+            return 0
         return jax.process_index()
     except Exception:
         return 0

@@ -50,14 +50,35 @@ def device_total_ms(logdir: str) -> float:
     # control-flow envelopes (the superstep's `while`) CONTAIN their body
     # ops in the trace — summing them double-counts every inner op
     # (detected round 3: the Houston leg reported device > wall)
-    return sum(
-        e.get("dur", 0.0) / 1e3
-        for e in events
-        if e.get("ph") == "X"
-        and e.get("pid") in device_pids
-        and e.get("args", {}).get("hlo_category")
-        not in (None, "while", "conditional", "call")
-    )
+    total = 0.0
+    module_ms = 0.0  # "XLA Modules" envelope (cat None, run_id/jit_ events)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        args = e.get("args", {})
+        cat = args.get("hlo_category")
+        dur_ms = e.get("dur", 0.0) / 1e3
+        if cat is None:
+            if "run_id" in args or e.get("name", "").startswith("jit_"):
+                module_ms += dur_ms
+            continue
+        if cat in ("while", "conditional", "call"):
+            continue
+        total += dur_ms
+    # sanity-check the op sum against the module envelope (CLAUDE.md trace
+    # methodology): ops >> envelope means an uncaught containing-event kind
+    # is double-counting (the bug class fixed above); ops << envelope means
+    # the Perfetto export dropped events. Either way the number is not
+    # trustworthy enough to record — return NaN rather than a wrong figure.
+    if module_ms > 0 and not (0.9 * module_ms <= total <= 1.02 * module_ms):
+        print(
+            f"WARNING: device op sum {total:.1f} ms vs XLA Modules envelope "
+            f"{module_ms:.1f} ms — trace inconsistent (dropped or "
+            "double-counted events); suppressing device_ms_per_step",
+            file=sys.stderr,
+        )
+        return float("nan")
+    return total
 
 
 def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: int):

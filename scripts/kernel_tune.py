@@ -236,21 +236,29 @@ def main() -> None:
             ("spectral", 32, "fwdbwd"): 4.11,
         }
         failures = []
-        checked = 0
+        measured = set()
         for label, ms, _ in results:
             m = re.match(r"(\w+) g=\s*(\d+) f=\S+ (\w+)", label)
             key = (m.group(1), int(m.group(2)), m.group(3))
             lim = limits.get(key)
             if lim is None:
                 continue
-            checked += 1
+            measured.add(key)
             status = "ok" if ms <= lim else "REGRESSION"
             print(f"regression check {key}: {ms:.3f} ms <= {lim} ... {status}")
             if ms > lim:
                 failures.append((key, ms, lim))
-        if not checked:
-            sys.exit("--assert-regression: no checked configuration was "
-                     "measured (run with --gs 16,32 --modes fwd,fwdbwd)")
+        # a thresholded config that failed to compile/trace is the WORST
+        # regression, not a pass — every limits key must have a measurement
+        # (a config that errors is skipped from `results` above, so absence
+        # is the only signal)
+        missing = sorted(set(limits) - measured)
+        if missing:
+            sys.exit(
+                f"--assert-regression: thresholded configurations not "
+                f"measured (compile/trace failure or restricted sweep): "
+                f"{missing} (run with --gs 16,32 --modes fwd,fwdbwd)"
+            )
         if failures:
             sys.exit(f"kernel perf regression: {failures}")
         print("regression check: all measured configurations within bounds")
