@@ -60,6 +60,42 @@ def device_op_ms(logdir: str) -> dict:
     return out
 
 
+# thresholds from BASELINE.md's roofline appendix (≥8% over the round-3
+# device-time numbers at the production block sizes; trace timings are
+# deterministic to ±0.001 ms, so a trip is a real regression, not noise)
+REGRESSION_LIMITS = {
+    ("spatial", 16, "fwd"): 1.15,
+    ("spatial", 16, "fwdbwd"): 3.43,
+    ("spectral", 32, "fwd"): 1.27,
+    ("spectral", 32, "fwdbwd"): 4.11,
+}
+
+
+def check_regressions(results, limits=None):
+    """(failures, missing) against the production thresholds.
+
+    ``results`` is the sweep's [(label, ms, _), ...]. A thresholded config
+    ABSENT from results (compile/trace failure, or a sweep restricted below
+    --gs 16,32 --modes fwd,fwdbwd) is reported in ``missing`` — absence is
+    the only signal a config errored, and it is the worst regression, not a
+    pass."""
+    limits = REGRESSION_LIMITS if limits is None else limits
+    failures = []
+    measured = set()
+    for label, ms, _ in results:
+        m = re.match(r"(\w+) g=\s*(\d+) f=\S+ (\w+)", label)
+        key = (m.group(1), int(m.group(2)), m.group(3))
+        lim = limits.get(key)
+        if lim is None:
+            continue
+        measured.add(key)
+        status = "ok" if ms <= lim else "REGRESSION"
+        print(f"regression check {key}: {ms:.3f} ms <= {lim} ... {status}")
+        if ms > lim:
+            failures.append((key, ms, lim))
+    return failures, sorted(set(limits) - measured)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=8)
@@ -225,34 +261,7 @@ def main() -> None:
         print(f"{ms:8.3f}  {label}")
 
     if args.assert_regression:
-        # thresholds from BASELINE.md's roofline appendix (≥8% over the
-        # round-3 device-time numbers at the production block sizes; trace
-        # timings are deterministic to ±0.001 ms, so a trip is a real
-        # regression, not chip noise)
-        limits = {
-            ("spatial", 16, "fwd"): 1.15,
-            ("spatial", 16, "fwdbwd"): 3.43,
-            ("spectral", 32, "fwd"): 1.27,
-            ("spectral", 32, "fwdbwd"): 4.11,
-        }
-        failures = []
-        measured = set()
-        for label, ms, _ in results:
-            m = re.match(r"(\w+) g=\s*(\d+) f=\S+ (\w+)", label)
-            key = (m.group(1), int(m.group(2)), m.group(3))
-            lim = limits.get(key)
-            if lim is None:
-                continue
-            measured.add(key)
-            status = "ok" if ms <= lim else "REGRESSION"
-            print(f"regression check {key}: {ms:.3f} ms <= {lim} ... {status}")
-            if ms > lim:
-                failures.append((key, ms, lim))
-        # a thresholded config that failed to compile/trace is the WORST
-        # regression, not a pass — every limits key must have a measurement
-        # (a config that errors is skipped from `results` above, so absence
-        # is the only signal)
-        missing = sorted(set(limits) - measured)
+        failures, missing = check_regressions(results)
         if missing:
             sys.exit(
                 f"--assert-regression: thresholded configurations not "
