@@ -162,9 +162,11 @@ def _to_headmajor(params: LayerParams, heads: int, dim_head: int):
     return wqkv3, wout3
 
 
-def _from_headmajor_grads(dwqkv3, dwout3, heads: int, dim_head: int):
-    """Inverse of :func:`_to_headmajor` for gradients (including the folded
-    attention scale on the Q block)."""
+def _from_headmajor_qkv_grad(dwqkv3, heads: int, dim_head: int):
+    """Inverse of :func:`_to_headmajor` for the QKV-weight gradient
+    (including the folded attention scale on the Q block). The output
+    projection's gradient is layout-independent of this transform — its
+    untransform is a plain reshape at the call site."""
     d = dwqkv3.shape[1]
 
     def heads_back(w3):  # [H, D, dh] → [D, I]
@@ -173,9 +175,7 @@ def _from_headmajor_grads(dwqkv3, dwout3, heads: int, dim_head: int):
     dq = heads_back(dwqkv3[:, :, :dim_head]) * (dim_head**-0.5)
     dk = heads_back(dwqkv3[:, :, dim_head : 2 * dim_head])
     dv = heads_back(dwqkv3[:, :, 2 * dim_head :])
-    dwqkv = jnp.concatenate([dq, dk, dv], axis=1)  # [D, 3I]
-    dwout = dwout3.reshape(heads * dim_head, -1)  # [I, D]
-    return dwqkv, dwout
+    return jnp.concatenate([dq, dk, dv], axis=1)  # [D, 3I]
 
 
 def _to_fulllane(params: LayerParams, dim_head: int):
@@ -819,9 +819,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
     if FULL_LANE_QKV:
         dwqkv = _from_fulllane_grad(dwqkv3, dim_head)
     else:
-        dwqkv = _from_headmajor_grads(dwqkv3, dwout3.reshape(heads, dim_head, -1)
-                                      if proj_fl else dwout3,
-                                      heads, dim_head)[0]
+        dwqkv = _from_headmajor_qkv_grad(dwqkv3, heads, dim_head)
     dwout = dwout3 if proj_fl else dwout3.reshape(heads * dim_head, -1)
     gp = LayerParams(
         ln1_scale=dln1s.astype(params.ln1_scale.dtype),

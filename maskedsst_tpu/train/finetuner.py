@@ -424,7 +424,12 @@ class Finetuner:
         cfg.num_params = self.num_params
         tracker.update_config(cfg)
         run_dir = os.path.join(models_dir, str(cfg.run_id))
-        if save_checkpoints:
+        # persistence contract: only process 0 touches the filesystem
+        # (save_checkpoint re-gates internally and makedirs its own parent;
+        # an unguarded makedirs here would litter every non-primary rank's
+        # divergent `local-*`/`nonprimary-*` run_id as an empty directory
+        # on a shared filesystem)
+        if save_checkpoints and jax.process_index() == 0:
             os.makedirs(run_dir, exist_ok=True)
 
         n_data = self.mesh.shape["data"]

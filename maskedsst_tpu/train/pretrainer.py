@@ -337,7 +337,8 @@ class Pretrainer:
         cfg.model_params = self.num_params
         tracker.update_config(cfg)
         run_dir = os.path.join(models_dir, str(cfg.run_id))
-        if save_checkpoints:
+        # only process 0 touches the filesystem (see finetuner.fit)
+        if save_checkpoints and jax.process_index() == 0:
             os.makedirs(run_dir, exist_ok=True)
 
         val_ds, train_ds = split_dataset(

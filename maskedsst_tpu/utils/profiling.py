@@ -9,9 +9,13 @@ hang the profiler — guarded by a watchdog thread).
 from __future__ import annotations
 
 import contextlib
+import glob
+import gzip
+import json
 import threading
 import time
-from typing import Iterator, Optional
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional
 
 
 @contextlib.contextmanager
@@ -60,6 +64,103 @@ def trace(logdir: str = "/tmp/maskedsst_trace", timeout_s: float = 10.0) -> Iter
                 jax.profiler.stop_trace()
             except Exception:
                 info["traced"] = False
+
+
+# HLO categories that are CONTAINING events in the trace: a superstep's
+# device `while` (and any conditional/call region) spans its body ops, so
+# summing them double-counts every inner op. Detected round 3 on the
+# Houston bench leg (device time > wall time); the exclusion must apply to
+# EVERY consumer of the trace, hence this shared parser.
+CONTROL_FLOW_CATS = frozenset({"while", "conditional", "call"})
+
+
+class DeviceTrace:
+    """Aggregated device-side op durations from one Perfetto trace export.
+
+    Attributes
+    ----------
+    by_name: stripped op name → list of per-instance durations (ms).
+             Control-flow envelopes are EXCLUDED (they are containers, not
+             work); callers looking up kernel custom-call names are
+             unaffected (Mosaic kernels export as hlo_category
+             "custom-call", not "call" — validated on-chip, round 3).
+    by_cat:  hlo_category → total ms (envelopes excluded).
+    busy_ms: total device op time (envelopes excluded) — the metric.
+    module_ms: the "XLA Modules" envelope total (wall span of each module,
+             including inter-op idle gaps; always ≥ busy_ms on a correct
+             trace).
+    """
+
+    def __init__(self) -> None:
+        self.by_name: Dict[str, List[float]] = defaultdict(list)
+        self.by_cat: Dict[str, float] = defaultdict(float)
+        self.busy_ms: float = 0.0
+        self.module_ms: float = 0.0
+
+    @property
+    def overcounted(self) -> bool:
+        """Op sum exceeding the module envelope means an uncaught containing
+        event kind is double-counting — the number is untrustworthy."""
+        return self.module_ms > 0 and self.busy_ms > 1.02 * self.module_ms
+
+    def undercount_vs_envelope(self) -> float:
+        """busy_ms / module_ms (1.0 when no envelope was found).
+
+        A low ratio is AMBIGUOUS: either the Perfetto export dropped op
+        events (known on short traces) or the module legitimately contains
+        device idle gaps (tiny-op workloads, DMA waits). busy_ms is still
+        the correct busy-time metric in the latter case, so callers should
+        warn, not reject, on a low ratio — and reject on `overcounted`."""
+        if self.module_ms <= 0:
+            return 1.0
+        return self.busy_ms / self.module_ms
+
+
+def parse_device_trace(logdir: str) -> Optional[DeviceTrace]:
+    """Parse the NEWEST trace export under ``logdir`` into a DeviceTrace.
+
+    Returns None when no trace file exists. This is the single trace-
+    accounting policy for all perf tooling (kernel_tune, profile_step,
+    bench_geometries) — three copies previously carried three subtly
+    different policies, and the envelope-exclusion fix only landed in one.
+    """
+    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    events = d.get("traceEvents", [])
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "/device:" in e["args"].get("name", "")
+    }
+    tr = DeviceTrace()
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        args = e.get("args", {})
+        cat = args.get("hlo_category")
+        dur_ms = e.get("dur", 0.0) / 1e3  # trace durations are in us
+        if cat is None:
+            # module-level envelope / python annotations; jit_ modules carry
+            # the run_id arg — sum them as the envelope sanity anchor
+            if "run_id" in args or e.get("name", "").startswith("jit_"):
+                tr.module_ms += dur_ms
+            continue
+        if cat in CONTROL_FLOW_CATS:
+            continue
+        name = e.get("name", "?")
+        # strip trailing .N instance suffixes so repeated instances aggregate
+        base = name.rsplit(".", 1)
+        if len(base) == 2 and base[1].isdigit():
+            name = base[0]
+        tr.by_name[name].append(dur_ms)
+        tr.by_cat[cat] += dur_ms
+        tr.busy_ms += dur_ms
+    return tr
 
 
 class StepTimer:

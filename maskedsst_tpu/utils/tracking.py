@@ -40,6 +40,11 @@ class Tracker:
             use_wandb = False
             self.jsonl_path = None
             self.quiet = True
+            # an explicit placeholder, not a local timestamp: ranks would
+            # otherwise each mint a DIFFERENT-looking run_id (clock skew)
+            # that reads like a real run. Non-primary ranks never persist,
+            # so this id must never reach a filesystem path or wandb.
+            self.run_id = f"nonprimary-{_process_index()}"
         if use_wandb is None:
             # a `wandb agent` worker sets sweep/run IDs but NOT WANDB_MODE —
             # without this, sweep trials would silently train yaml defaults

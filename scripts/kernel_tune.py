@@ -14,14 +14,9 @@ Usage: python scripts/kernel_tune.py [--chain 8]
 """
 
 import argparse
-import glob
-import gzip
-import json
 import os
-import re
 import shutil
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,35 +24,14 @@ DIM, HEADS, DH, MLP = 96, 8, 64, 64
 
 
 def device_op_ms(logdir: str) -> dict:
-    """name → list of durations (ms) for device XLA ops in the last trace."""
-    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
-    if not paths:
-        return {}
-    with gzip.open(paths[-1]) as f:
-        d = json.load(f)
-    ev = d["traceEvents"]
-    dev_pids = {
-        e["pid"]
-        for e in ev
-        if e.get("ph") == "M"
-        and e.get("name") == "process_name"
-        and "/device:" in e["args"].get("name", "")
-    }
-    tnames = {
-        (e["pid"], e.get("tid")): e["args"]["name"]
-        for e in ev
-        if e.get("ph") == "M" and e.get("name") == "thread_name"
-    }
-    out = defaultdict(list)
-    for e in ev:
-        if (
-            e.get("ph") == "X"
-            and e.get("pid") in dev_pids
-            and tnames.get((e["pid"], e.get("tid"))) == "XLA Ops"
-        ):
-            name = e["name"].rsplit(".", 1)[0]
-            out[name].append(e["dur"] / 1e3)
-    return out
+    """name → list of durations (ms) for device XLA ops in the last trace.
+
+    Thin wrapper over the shared trace-accounting policy
+    (maskedsst_tpu.utils.profiling.parse_device_trace)."""
+    from maskedsst_tpu.utils.profiling import parse_device_trace
+
+    tr = parse_device_trace(logdir)
+    return dict(tr.by_name) if tr is not None else {}
 
 
 # thresholds from BASELINE.md's roofline appendix (≥8% over the round-3
@@ -71,20 +45,50 @@ REGRESSION_LIMITS = {
 }
 
 
+def nonproduction_overrides(args) -> list:
+    """Sweep overrides that invalidate the regression thresholds.
+
+    The thresholds were measured under production conditions; any override
+    that changes them (fold-8 is known-bad at ~8.3 ms, --eval forces
+    dropout 0, --batch changes row counts, forced kernel forms measure the
+    A/B control) makes the comparison meaningless — --assert-regression
+    refuses rather than phantom-trip or false-pass."""
+    overrides = []
+    if args.dropout != 0.1:
+        overrides.append(f"--dropout {args.dropout}")
+    if args.batch != 64:
+        overrides.append(f"--batch {args.batch}")
+    if args.eval:
+        overrides.append("--eval")
+    if args.folds:
+        overrides.append(f"--folds {args.folds}")
+    if args.full_lane or args.head_major:
+        overrides.append("--full-lane/--head-major")
+    if args.head_major_proj or args.full_lane_proj:
+        overrides.append("--head-major-proj/--full-lane-proj")
+    return overrides
+
+
 def check_regressions(results, limits=None):
     """(failures, missing) against the production thresholds.
 
-    ``results`` is the sweep's [(label, ms, _), ...]. A thresholded config
-    ABSENT from results (compile/trace failure, or a sweep restricted below
+    ``results`` is the sweep's [(key, label, ms, _), ...] with key the
+    structured (shape, g, mode) tuple — no label parsing (a label-format
+    tweak must not silently break the gate). A thresholded config ABSENT
+    from results (compile/trace failure, or a sweep restricted below
     --gs 16,32 --modes fwd,fwdbwd) is reported in ``missing`` — absence is
     the only signal a config errored, and it is the worst regression, not a
-    pass."""
+    pass.
+
+    The thresholds are only valid for PRODUCTION measurement conditions
+    (auto fold, default dropout/batch, default kernel forms, train-mode
+    forward): main() refuses --assert-regression under any sweep override
+    that changes them, so a fold-8 or --eval run can neither phantom-trip
+    nor false-pass the gate."""
     limits = REGRESSION_LIMITS if limits is None else limits
     failures = []
     measured = set()
-    for label, ms, _ in results:
-        m = re.match(r"(\w+) g=\s*(\d+) f=\S+ (\w+)", label)
-        key = (m.group(1), int(m.group(2)), m.group(3))
+    for key, _label, ms, _ in results:
         lim = limits.get(key)
         if lim is None:
             continue
@@ -244,7 +248,7 @@ def main() -> None:
                     if tot:
                         alln = sum(t for t, _ in tot.values())
                         counts = {n: c for n, (t, c) in tot.items()}
-                        results.append((label, alln / chain, counts))
+                        results.append(((shape_name, g, mode), label, alln / chain, counts))
                         print(f"{label}: {alln / chain:7.3f} ms/layer  {counts}")
                     else:
                         print(f"{label}: no kernel ops found; keys={list(ops)[:8]}")
@@ -257,10 +261,16 @@ def main() -> None:
                 fl._choose_fold = orig_fold
 
     print("\n== summary (ms per layer call chain-amortized) ==")
-    for label, ms, _ in sorted(results, key=lambda r: r[0]):
+    for _key, label, ms, _ in sorted(results, key=lambda r: r[1]):
         print(f"{ms:8.3f}  {label}")
 
     if args.assert_regression:
+        overrides = nonproduction_overrides(args)
+        if overrides:
+            sys.exit(
+                "--assert-regression requires production measurement "
+                f"conditions; drop the overrides: {', '.join(overrides)}"
+            )
         failures, missing = check_regressions(results)
         if missing:
             sys.exit(

@@ -11,13 +11,9 @@ Usage: python scripts/profile_step.py [--steps K] [--logdir DIR]
 """
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import shutil
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,52 +57,37 @@ def run_superstep(steps: int, logdir: str) -> bool:
 
 
 def parse_trace(logdir: str, steps: int) -> None:
-    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
-    if not paths:
+    # shared accounting (maskedsst_tpu.utils.profiling.parse_device_trace):
+    # control-flow envelopes (the superstep's device `while`) are excluded —
+    # summing them double-counted every inner op and reported ~2x the real
+    # device ms/step on superstep traces (round-3 review finding; the fix
+    # originally landed only in bench_geometries)
+    from maskedsst_tpu.utils.profiling import parse_device_trace
+
+    tr = parse_device_trace(logdir)
+    if tr is None:
         print("no trace produced", file=sys.stderr)
         return
-    with gzip.open(paths[-1]) as f:
-        d = json.load(f)
-    events = d.get("traceEvents", [])
-    # device pid: process named /device:TPU:* ; XLA Ops thread has hlo events
-    device_pids = {
-        e["pid"]
-        for e in events
-        if e.get("ph") == "M"
-        and e.get("name") == "process_name"
-        and "/device:" in e["args"].get("name", "")
-    }
-    by_name = defaultdict(float)
-    by_cat = defaultdict(float)
-    total = 0.0
-    module_ms = 0.0  # "XLA Modules" envelope (no hlo_category)
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        args = e.get("args", {})
-        cat = args.get("hlo_category")
-        dur_ms = e.get("dur", 0.0) / 1e3  # trace durs are in us
-        if cat is None:
-            # module-level envelope / python events; jit_ modules carry the
-            # run_id arg — sum them as the envelope to sanity-check against
-            if "run_id" in args or e.get("name", "").startswith("jit_"):
-                module_ms += dur_ms
-            continue
-        name = e.get("name", "?")
-        # strip trailing .N suffixes so repeated instances aggregate
-        base = name.rsplit(".", 1)
-        if len(base) == 2 and base[1].isdigit():
-            name = base[0]
-        by_name[name] += dur_ms
-        by_cat[cat] += dur_ms
-        total += dur_ms
+    by_name = {name: sum(durs) for name, durs in tr.by_name.items()}
+    by_cat = tr.by_cat
+    total = tr.busy_ms
+    module_ms = tr.module_ms
 
-    if module_ms > 0 and total < 0.9 * module_ms:
+    if tr.overcounted:
         print(
             f"WARNING: op events sum to {total:.1f} ms but the XLA Modules "
-            f"envelope is {module_ms:.1f} ms — the Perfetto export dropped "
-            "events (known on short traces, CLAUDE.md); per-op percentages "
-            "below are untrustworthy",
+            f"envelope is only {module_ms:.1f} ms — an uncaught containing-"
+            "event kind is double-counting; per-op numbers below are "
+            "untrustworthy",
+            file=sys.stderr,
+        )
+    elif tr.undercount_vs_envelope() < 0.9:
+        print(
+            f"WARNING: op events sum to {total:.1f} ms but the XLA Modules "
+            f"envelope is {module_ms:.1f} ms — either the Perfetto export "
+            "dropped events (known on short traces, CLAUDE.md) or the module "
+            "has real device idle gaps; per-op percentages below may be "
+            "untrustworthy",
             file=sys.stderr,
         )
 

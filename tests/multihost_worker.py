@@ -104,6 +104,20 @@ def main() -> None:
             probe = os.path.join(workdir, f"rank{pid}_probe.msgpack")
             save_checkpoint(probe, trainer.state)
             assert not os.path.exists(probe), "non-primary process wrote a checkpoint"
+        # Tracker persistence is rank-gated on the REAL cluster too (the
+        # unit test monkeypatches _process_index; this exercises the live
+        # jax.process_index path): non-primary ranks must not write their
+        # JSONL and carry an explicit placeholder run_id
+        from maskedsst_tpu.utils.tracking import Tracker
+
+        jsonl = os.path.join(workdir, f"rank{pid}.jsonl")
+        tr = Tracker("mh-test", config, use_wandb=False, jsonl_path=jsonl)
+        tr.log({"probe": 1.0}, step=0)
+        if pid != 0:
+            assert not os.path.exists(jsonl), "non-primary process wrote tracking JSONL"
+            assert tr.run_id == f"nonprimary-{pid}", tr.run_id
+        else:
+            assert os.path.exists(jsonl)
         if nproc > 1:
             multihost_utils.sync_global_devices("checkpoint written")
         assert os.path.exists(path) and os.path.exists(path + ".json")

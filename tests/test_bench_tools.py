@@ -1,18 +1,24 @@
-"""Guard logic of the perf tooling (scripts/kernel_tune.py regression
-checker, scripts/bench_geometries.py trace accounting).
+"""Guard logic of the perf tooling: the shared trace-accounting policy
+(maskedsst_tpu.utils.profiling.parse_device_trace), the kernel_tune
+regression gate, and bench_geometries' trace rejection rules.
 
 These pin the round-3 review fixes: a thresholded kernel config that fails
 to compile must FAIL --assert-regression (absence from the sweep results is
-the only signal), and device_total_ms must reject traces whose op sum
-disagrees with the XLA Modules envelope (double-counted containing events /
-dropped events) instead of recording a wrong number.
+the only signal); the gate keys on structured (shape, g, mode) tuples (no
+label parsing) and refuses non-production sweep overrides; device-time
+accounting excludes control-flow envelopes EVERYWHERE (the double-count fix
+originally landed in only one of three parser copies) and rejects
+over-counted traces while keeping — with a warning — busy time on gap-heavy
+modules (the bs-2 finetune leg legitimately idles inside its module span).
 """
 
+import argparse
 import gzip
 import importlib.util
 import json
 import os
-import sys
+
+from maskedsst_tpu.utils.profiling import parse_device_trace
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,18 +34,19 @@ def _load(name):
 
 # --- kernel_tune.check_regressions -------------------------------------------
 
-def _label(shape, g, mode):
-    # the sweep's label format: f"{shape} g={g:3d} f=auto {mode:6s} drop=0.1"
-    return f"{shape} g={g:3d} f=auto {mode:6s} drop=0.1"
+def _result(shape, g, mode, ms):
+    # the sweep's result rows: (structured key, display label, ms, counts)
+    label = f"{shape} g={g:3d} f=auto {mode:6s} drop=0.1"
+    return ((shape, g, mode), label, ms, None)
 
 
 def test_assert_regression_all_within_bounds():
     kt = _load("kernel_tune")
     results = [
-        (_label("spatial", 16, "fwd"), 1.06, None),
-        (_label("spatial", 16, "fwdbwd"), 3.18, None),
-        (_label("spectral", 32, "fwd"), 1.17, None),
-        (_label("spectral", 32, "fwdbwd"), 3.80, None),
+        _result("spatial", 16, "fwd", 1.06),
+        _result("spatial", 16, "fwdbwd", 3.18),
+        _result("spectral", 32, "fwd", 1.17),
+        _result("spectral", 32, "fwdbwd", 3.80),
     ]
     failures, missing = kt.check_regressions(results)
     assert failures == [] and missing == []
@@ -48,10 +55,10 @@ def test_assert_regression_all_within_bounds():
 def test_assert_regression_trips_on_slow_config():
     kt = _load("kernel_tune")
     results = [
-        (_label("spatial", 16, "fwd"), 1.06, None),
-        (_label("spatial", 16, "fwdbwd"), 3.18, None),
-        (_label("spectral", 32, "fwd"), 1.17, None),
-        (_label("spectral", 32, "fwdbwd"), 9.99, None),  # regression
+        _result("spatial", 16, "fwd", 1.06),
+        _result("spatial", 16, "fwdbwd", 3.18),
+        _result("spectral", 32, "fwd", 1.17),
+        _result("spectral", 32, "fwdbwd", 9.99),  # regression
     ]
     failures, missing = kt.check_regressions(results)
     assert missing == []
@@ -64,9 +71,9 @@ def test_assert_regression_fails_on_missing_config():
     implementation passed whenever checked > 0)."""
     kt = _load("kernel_tune")
     results = [
-        (_label("spatial", 16, "fwd"), 1.06, None),
-        (_label("spatial", 16, "fwdbwd"), 3.18, None),
-        (_label("spectral", 32, "fwd"), 1.17, None),
+        _result("spatial", 16, "fwd", 1.06),
+        _result("spatial", 16, "fwdbwd", 3.18),
+        _result("spectral", 32, "fwd", 1.17),
         # spectral fwdbwd absent: compile failure
     ]
     failures, missing = kt.check_regressions(results)
@@ -77,8 +84,8 @@ def test_assert_regression_fails_on_missing_config():
 def test_assert_regression_ignores_untracked_configs():
     kt = _load("kernel_tune")
     results = [
-        (_label("spatial", 16, "fwd"), 1.06, None),
-        (_label("spatial", 64, "fwd"), 99.0, None),  # no threshold for g=64
+        _result("spatial", 16, "fwd", 1.06),
+        _result("spatial", 64, "fwd", 99.0),  # no threshold for g=64
     ]
     failures, missing = kt.check_regressions(
         results, limits={("spatial", 16, "fwd"): 1.15}
@@ -86,7 +93,35 @@ def test_assert_regression_ignores_untracked_configs():
     assert failures == [] and missing == []
 
 
-# --- bench_geometries.device_total_ms ----------------------------------------
+def _sweep_args(**overrides):
+    base = dict(
+        chain=8, shapes="spatial,spectral", gs="16,32", folds="",
+        dropout=0.1, batch=64, modes="fwd,fwdbwd", full_lane=False,
+        head_major=False, head_major_proj=False, full_lane_proj=False,
+        assert_regression=True, eval=False,
+    )
+    base.update(overrides)
+    return argparse.Namespace(**base)
+
+
+def test_assert_regression_refuses_nonproduction_sweeps():
+    """The thresholds are only valid at production measurement conditions:
+    a fold-8 sweep (known-bad ~8.3 ms) must not phantom-trip the gate, and
+    an --eval or forced-form run must not false-pass it."""
+    kt = _load("kernel_tune")
+    assert kt.nonproduction_overrides(_sweep_args()) == []
+    for bad in (
+        dict(folds="8"),
+        dict(eval=True),
+        dict(dropout=0.0),
+        dict(batch=512),
+        dict(head_major=True),
+        dict(full_lane_proj=True),
+    ):
+        assert kt.nonproduction_overrides(_sweep_args(**bad)), bad
+
+
+# --- shared trace parser ------------------------------------------------------
 
 def _write_trace(tmp_path, events):
     d = tmp_path / "plugins" / "profile" / "run1"
@@ -111,6 +146,51 @@ def _op(pid, name, dur_us, cat="fusion", extra_args=None):
         args.update(extra_args)
     return {"ph": "X", "pid": pid, "name": name, "dur": dur_us, "args": args}
 
+
+def test_parse_device_trace_excludes_control_flow_and_strips_suffixes(tmp_path):
+    """The superstep's device `while` CONTAINS its body ops — summing it
+    double-counts every inner op (the round-3 Houston 'device > wall' bug).
+    The exclusion lives in the ONE shared parser so every consumer
+    (kernel_tune, profile_step, bench_geometries) gets it."""
+    events = [
+        _device_meta(),
+        _op(7, "jit_superstep", 1000.0, cat=None, extra_args={"run_id": 1}),
+        _op(7, "fused_kernel.1", 500.0, cat="custom-call"),
+        _op(7, "fused_kernel.2", 480.0, cat="custom-call"),
+        _op(7, "while", 990.0, cat="while"),
+        _op(7, "host-event", 123.0, cat="fusion"),  # wrong pid: ignored
+    ]
+    events[-1]["pid"] = 99
+    logdir = _write_trace(tmp_path, events)
+    tr = parse_device_trace(logdir)
+    assert abs(tr.busy_ms - 0.98) < 1e-9
+    assert abs(tr.module_ms - 1.0) < 1e-9
+    # .N instance suffixes aggregate under one name (kernel_tune's lookups)
+    assert list(tr.by_name) == ["fused_kernel"]
+    assert len(tr.by_name["fused_kernel"]) == 2
+    assert set(tr.by_cat) == {"custom-call"}
+    assert abs(tr.by_cat["custom-call"] - 0.98) < 1e-9
+    assert not tr.overcounted
+
+
+def test_parse_device_trace_no_trace(tmp_path):
+    assert parse_device_trace(str(tmp_path)) is None
+
+
+def test_kernel_tune_device_op_ms_uses_shared_parser(tmp_path):
+    kt = _load("kernel_tune")
+    events = [
+        _device_meta(),
+        _op(7, "fused_transformer_layer.3", 700.0, cat="custom-call"),
+        _op(7, "while", 990.0, cat="while"),
+    ]
+    logdir = _write_trace(tmp_path, events)
+    ops = kt.device_op_ms(logdir)
+    assert ops == {"fused_transformer_layer": [0.7]}
+    assert kt.device_op_ms(str(tmp_path / "nowhere")) == {}
+
+
+# --- bench_geometries.device_total_ms ----------------------------------------
 
 def test_device_total_ms_consistent_trace(tmp_path):
     bg = _load("bench_geometries")
@@ -142,12 +222,15 @@ def test_device_total_ms_rejects_double_count(tmp_path, capsys):
     logdir = _write_trace(tmp_path, events)
     out = bg.device_total_ms(logdir)
     assert out != out  # NaN
-    assert "trace inconsistent" in capsys.readouterr().err
+    assert "double-counting" in capsys.readouterr().err
 
 
-def test_device_total_ms_rejects_dropped_events(tmp_path):
-    """Perfetto exports can silently drop op events on short traces
-    (CLAUDE.md): op sum << envelope must also be rejected."""
+def test_device_total_ms_keeps_busy_time_on_gapped_module(tmp_path, capsys):
+    """Op sum << envelope is AMBIGUOUS: dropped Perfetto events OR real
+    device idle gaps inside the module (tiny-op workloads like the bs-2
+    finetune leg). Busy time is still the correct metric in the legitimate
+    case — warn and keep the value rather than false-rejecting to NaN (the
+    original policy suppressed valid traces)."""
     bg = _load("bench_geometries")
     events = [
         _device_meta(),
@@ -155,8 +238,11 @@ def test_device_total_ms_rejects_dropped_events(tmp_path):
         _op(7, "fusion.1", 300.0),  # 0.3 of the envelope
     ]
     logdir = _write_trace(tmp_path, events)
-    out = bg.device_total_ms(logdir)
-    assert out != out  # NaN
+    assert abs(bg.device_total_ms(logdir) - 0.3) < 1e-9
+    assert "idle gaps" in capsys.readouterr().err
+    # the tuple form also surfaces the envelope for the JSON record
+    busy, module = bg.device_trace_ms(logdir)
+    assert (abs(busy - 0.3) < 1e-9) and (abs(module - 1.0) < 1e-9)
 
 
 def test_device_total_ms_no_trace(tmp_path):

@@ -780,10 +780,43 @@ def test_tracker_gated_to_process_zero(tmp_path, monkeypatch):
     t.log({"loss": 1.0}, step=0)
     assert not jsonl.exists()
 
+    # the placeholder run_id is explicit about its rank and must not read
+    # like a real (timestamped) run — it never reaches a filesystem path
+    assert t.run_id == "nonprimary-1"
+
     monkeypatch.setattr(tracking, "_process_index", lambda: 0)
     t0 = tracking.Tracker("proj", use_wandb=False, jsonl_path=str(jsonl))
     t0.log({"loss": 1.0}, step=0)
     assert jsonl.exists()
+
+
+def test_run_dir_creation_gated_to_process_zero(tmp_path, monkeypatch):
+    """fit() must not mkdir models/<run_id> on non-primary ranks: run_ids
+    diverge per rank (only process 0 may hold a wandb id), so unguarded
+    makedirs litters N-1 stray empty run directories per multi-host run on
+    a shared filesystem (round-3 review finding)."""
+    from maskedsst_tpu.config import get_pretrain_config
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 64  # > dataset size: zero steps, persistence only
+    cfg.skip_val = True
+    tr = Pretrainer(cfg)
+    ds = SyntheticCubeDataset(num_tiles=16, n_bands=40, labeled=False)
+
+    monkeypatch.setattr(jax, "process_index", lambda backend=None: 1)
+    tr.fit(ds, epochs=1, save_checkpoints=True, models_dir=str(tmp_path / "np"))
+    assert not (tmp_path / "np").exists()
+
+    monkeypatch.setattr(jax, "process_index", lambda backend=None: 0)
+    tr.fit(ds, epochs=1, save_checkpoints=True, models_dir=str(tmp_path / "p0"))
+    assert any((tmp_path / "p0").iterdir())
 
 
 def test_graft_entry_uses_no_private_jax_api():
