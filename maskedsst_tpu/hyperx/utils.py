@@ -17,25 +17,33 @@ from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 import numpy as np
 
 
+def window_origins(extent: int, size: int, step: int) -> List[int]:
+    """Window start coordinates along one axis, with the reference's exact
+    edge semantics (DeepHyperX/utils.py:252-296): stride ``step``, plus —
+    when the residual ``(extent - size) % step`` is large enough that the
+    strided range overshoots the border — one extra window clamped to end
+    exactly at the border. Window PLACEMENT is the test-time accumulation
+    contract (test() sums per-window probabilities at these coordinates),
+    so these values must match the reference bit-for-bit, including its
+    quirk that a small residual leaves the border uncovered."""
+    residual = (extent - size) % step
+    strided = np.arange(0, extent - size + residual + 1, step)
+    return [int(v) for v in np.minimum(strided, extent - size)]
+
+
 def sliding_window(
     image: np.ndarray,
     step: int = 10,
     window_size: Tuple[int, int] = (20, 20),
     with_data: bool = True,
 ) -> Iterator:
-    """Yield ``(data, x, y, w, h)`` windows over ``image[H, W, ...]`` with the
-    reference's edge handling: the last window along each axis is clamped so
-    the full image is always covered (DeepHyperX/utils.py:252-296)."""
+    """Yield ``(data, x, y, w, h)`` windows over ``image[H, W, ...]`` at the
+    origin grid of :func:`window_origins` (reference edge handling)."""
     w, h = window_size
-    W, H = image.shape[:2]
-    offset_w = (W - w) % step
-    offset_h = (H - h) % step
-    for x in range(0, W - w + offset_w + 1, step):
-        if x + w > W:
-            x = W - w
-        for y in range(0, H - h + offset_h + 1, step):
-            if y + h > H:
-                y = H - h
+    xs = window_origins(image.shape[0], w, step)
+    ys = window_origins(image.shape[1], h, step)
+    for x in xs:
+        for y in ys:
             if with_data:
                 yield image[x : x + w, y : y + h], x, y, w, h
             else:
@@ -43,7 +51,10 @@ def sliding_window(
 
 
 def count_sliding_window(top, step: int = 10, window_size=(20, 20)) -> int:
-    return sum(1 for _ in sliding_window(top, step, window_size, with_data=False))
+    w, h = window_size
+    return len(window_origins(top.shape[0], w, step)) * len(
+        window_origins(top.shape[1], h, step)
+    )
 
 
 def grouper(n: int, iterable: Iterable) -> Iterator[tuple]:

@@ -79,6 +79,16 @@ def device_total_ms(logdir: str) -> float:
 
 def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: int,
           module_ms: float = float("nan")):
+    # a low busy/envelope ratio is ambiguous (dropped Perfetto events OR real
+    # device idle inside the module span); the stderr warning does not
+    # survive into the JSON record, so flag the ambiguity in-band — a reader
+    # comparing runs must not mistake a lossy trace for a speedup
+    suspect = (
+        device_ms == device_ms
+        and module_ms == module_ms
+        and module_ms > 0
+        and device_ms / module_ms < 0.9
+    )
     print(json.dumps({
         "metric": metric,
         "value": round(cubes_per_sec_per_chip, 1),
@@ -87,6 +97,7 @@ def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: i
         # the XLA Modules envelope (busy + device idle gaps): lets a reader
         # judge an op-sum-vs-envelope warning without re-running the trace
         "device_module_ms_per_step": round(module_ms / steps, 3) if module_ms == module_ms else None,
+        "trace_suspect": suspect,
     }), flush=True)
 
 

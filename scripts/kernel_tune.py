@@ -34,6 +34,36 @@ def device_op_ms(logdir: str) -> dict:
     return dict(tr.by_name) if tr is not None else {}
 
 
+def trace_suspect(logdir: str):
+    """None when the trace accounting is trustworthy, else a reason string.
+
+    The regression gate must never judge an inconsistent trace: an
+    over-counted one (op sum > modules envelope: an uncaught containing
+    event kind) overstates per-layer ms and phantom-trips, while a Perfetto
+    export that silently dropped op events (known failure on short traces)
+    understates it and FALSE-PASSES. Unlike bench_geometries' gap-heavy
+    workloads, the sweep's chained-layer traces are ~100% custom-call busy
+    (profile_step measured 97.3%), so a low op-sum/envelope ratio here
+    means dropped events, not legitimate idle."""
+    from maskedsst_tpu.utils.profiling import parse_device_trace
+
+    tr = parse_device_trace(logdir)
+    if tr is None:
+        return "no trace parsed"
+    if tr.overcounted:
+        return (
+            f"overcounted: op sum {tr.busy_ms:.1f} ms > modules envelope "
+            f"{tr.module_ms:.1f} ms"
+        )
+    ratio = tr.undercount_vs_envelope()
+    if ratio < 0.9:
+        return (
+            f"op sum is only {ratio:.2f} of the {tr.module_ms:.1f} ms modules "
+            "envelope (Perfetto export dropped events?)"
+        )
+    return None
+
+
 # thresholds from BASELINE.md's roofline appendix (≥8% over the round-3
 # device-time numbers at the production block sizes; trace timings are
 # deterministic to ±0.001 ms, so a trip is a real regression, not noise)
@@ -66,10 +96,14 @@ def nonproduction_overrides(args) -> list:
         overrides.append("--full-lane/--head-major")
     if args.head_major_proj or args.full_lane_proj:
         overrides.append("--head-major-proj/--full-lane-proj")
+    if args.chain != 8:
+        # thresholds were measured chain-amortized at chain 8; a different
+        # chain length changes dispatch/pipelining amortization
+        overrides.append(f"--chain {args.chain}")
     return overrides
 
 
-def check_regressions(results, limits=None):
+def check_regressions(results, limits=None, suspects=None):
     """(failures, missing) against the production thresholds.
 
     ``results`` is the sweep's [(key, label, ms, _), ...] with key the
@@ -78,13 +112,16 @@ def check_regressions(results, limits=None):
     from results (compile/trace failure, or a sweep restricted below
     --gs 16,32 --modes fwd,fwdbwd) is reported in ``missing`` — absence is
     the only signal a config errored, and it is the worst regression, not a
-    pass.
+    pass. ``suspects`` maps keys whose trace failed the consistency check
+    (see :func:`trace_suspect`) to a reason — those configs FAIL rather
+    than judge a number from an untrustworthy trace (a dropped-events
+    export understates ms and would false-pass).
 
     The thresholds are only valid for PRODUCTION measurement conditions
-    (auto fold, default dropout/batch, default kernel forms, train-mode
-    forward): main() refuses --assert-regression under any sweep override
-    that changes them, so a fold-8 or --eval run can neither phantom-trip
-    nor false-pass the gate."""
+    (auto fold, default dropout/batch/chain, default kernel forms,
+    train-mode forward): main() refuses --assert-regression under any sweep
+    override that changes them, so a fold-8 or --eval run can neither
+    phantom-trip nor false-pass the gate."""
     limits = REGRESSION_LIMITS if limits is None else limits
     failures = []
     measured = set()
@@ -93,6 +130,11 @@ def check_regressions(results, limits=None):
         if lim is None:
             continue
         measured.add(key)
+        reason = (suspects or {}).get(key)
+        if reason is not None:
+            print(f"regression check {key}: trace untrustworthy ({reason}) ... FAIL")
+            failures.append((key, float("nan"), lim))
+            continue
         status = "ok" if ms <= lim else "REGRESSION"
         print(f"regression check {key}: {ms:.3f} ms <= {lim} ... {status}")
         if ms > lim:
@@ -162,6 +204,7 @@ def main() -> None:
         fl.FULL_LANE_PROJ = True
 
     rng = np.random.default_rng(0)
+    suspects = {}
 
     def mk_params():
         def r(*sh):
@@ -236,6 +279,10 @@ def main() -> None:
                             print(f"{shape_name} g={g} f={fold} {mode}: trace FAILED, skipping")
                             continue
                     ops = device_op_ms(logdir)
+                    bad = trace_suspect(logdir)
+                    if bad is not None:
+                        suspects[(shape_name, g, mode)] = bad
+                        print(f"{shape_name} g={g} f={fold} {mode}: TRACE SUSPECT — {bad}")
                     # fwd pallas op name contains 'fused_layer' via the kernel
                     # function name; fall back to custom-call aggregation
                     tot = {
@@ -271,7 +318,7 @@ def main() -> None:
                 "--assert-regression requires production measurement "
                 f"conditions; drop the overrides: {', '.join(overrides)}"
             )
-        failures, missing = check_regressions(results)
+        failures, missing = check_regressions(results, suspects=suspects)
         if missing:
             sys.exit(
                 f"--assert-regression: thresholded configurations not "

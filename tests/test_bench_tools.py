@@ -117,8 +117,61 @@ def test_assert_regression_refuses_nonproduction_sweeps():
         dict(batch=512),
         dict(head_major=True),
         dict(full_lane_proj=True),
+        # thresholds were measured chain-amortized at chain 8: both a
+        # chain-1 (dispatch-heavy) and a chain-64 run change amortization
+        dict(chain=1),
+        dict(chain=64),
     ):
         assert kt.nonproduction_overrides(_sweep_args(**bad)), bad
+
+
+def test_assert_regression_fails_on_suspect_trace():
+    """A thresholded config measured from an inconsistent trace must FAIL:
+    a dropped-events Perfetto export understates per-layer ms and would
+    otherwise false-pass the gate (the advisor's round-3 finding)."""
+    kt = _load("kernel_tune")
+    results = [
+        _result("spatial", 16, "fwd", 1.06),
+        _result("spatial", 16, "fwdbwd", 3.18),
+        _result("spectral", 32, "fwd", 1.17),
+        _result("spectral", 32, "fwdbwd", 0.50),  # absurdly fast: lossy trace
+    ]
+    failures, missing = kt.check_regressions(
+        results, suspects={("spectral", 32, "fwdbwd"): "op sum is only 0.12 of envelope"}
+    )
+    assert missing == []
+    assert len(failures) == 1
+    key, ms, lim = failures[0]
+    assert key == ("spectral", 32, "fwdbwd") and ms != ms  # NaN ms
+
+
+def test_kernel_tune_trace_suspect(tmp_path):
+    """trace_suspect flags over-counted traces AND low op-sum/envelope
+    ratios (the sweep's chained-layer traces are ~100% busy, so a low ratio
+    there means dropped events, not legitimate idle)."""
+    kt = _load("kernel_tune")
+    good = [
+        _device_meta(),
+        _op(7, "jit_run", 1000.0, cat=None, extra_args={"run_id": 1}),
+        _op(7, "layer.1", 980.0, cat="custom-call"),
+    ]
+    assert kt.trace_suspect(_write_trace(tmp_path / "good", good)) is None
+    dropped = [
+        _device_meta(),
+        _op(7, "jit_run", 1000.0, cat=None, extra_args={"run_id": 1}),
+        _op(7, "layer.1", 300.0, cat="custom-call"),
+    ]
+    reason = kt.trace_suspect(_write_trace(tmp_path / "drop", dropped))
+    assert reason and "0.30" in reason
+    doubled = [
+        _device_meta(),
+        _op(7, "jit_run", 1000.0, cat=None, extra_args={"run_id": 1}),
+        _op(7, "layer.1", 900.0, cat="custom-call"),
+        _op(7, "group", 950.0, cat="grouping"),
+    ]
+    reason = kt.trace_suspect(_write_trace(tmp_path / "dbl", doubled))
+    assert reason and "overcounted" in reason
+    assert kt.trace_suspect(str(tmp_path / "nowhere")) is not None
 
 
 # --- shared trace parser ------------------------------------------------------
@@ -249,3 +302,18 @@ def test_device_total_ms_no_trace(tmp_path):
     bg = _load("bench_geometries")
     out = bg.device_total_ms(str(tmp_path))
     assert out != out  # NaN, not an exception
+
+
+def test_emit_flags_suspect_trace_in_json(capsys):
+    """The busy<<envelope ambiguity must survive into the JSON record
+    itself (the stderr warning does not): trace_suspect true when the op
+    sum is well below the modules envelope, false on a consistent trace,
+    false when no trace parsed (nothing to suspect — fields are null)."""
+    bg = _load("bench_geometries")
+    bg._emit("m", 100.0, device_ms=30.0, steps=10, module_ms=100.0)
+    bg._emit("m", 100.0, device_ms=95.0, steps=10, module_ms=100.0)
+    bg._emit("m", 100.0, device_ms=float("nan"), steps=10)
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert [r["trace_suspect"] for r in rows] == [True, False, False]
+    assert rows[0]["device_ms_per_step"] == 3.0
+    assert rows[2]["device_ms_per_step"] is None
