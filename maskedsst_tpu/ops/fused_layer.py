@@ -274,24 +274,43 @@ def _bmm(a, b, compute_dtype, trans_a=False, trans_b=False):
     )
 
 
-def _keep_mask(shape, seed, block, site, rate):
+def _keep_mask(shape, seed, block, site, rate, interpret=False):
     """Deterministic dropout keep-mask scaled by 1/(1-rate); seeded by
     (layer seed, global grid block, site) so the backward kernel regenerates
-    identical bits. Returns fp32 multiplier."""
+    identical bits. Returns fp32 multiplier.
+
+    ``interpret``: ``pltpu.prng_seed`` has no CPU-interpret lowering, so
+    interpret-mode kernels derive the bits from the SAME structural key
+    through the Threefry path of ``jax.random`` instead. Everything CI can
+    meaningfully pin is identical between the two generators — the uniform
+    uint32 → keep-threshold comparison, the 1/(1-rate) scaling, and the
+    structural (seed, block, site) keying that makes the backward kernel's
+    recompute agree with the forward — but the raw bit STREAMS differ
+    (Mosaic's is the hardware PRNG, implementation-defined and not
+    reproducible off-chip), so on-chip outputs differ from interpret
+    outputs at equal seeds; scripts/tpu_kernel_check.py pins the same
+    semantic invariants against the hardware stream."""
     mixed = seed + block * jnp.int32(-1640531527) + jnp.int32(site * 40503)
-    pltpu.prng_seed(mixed)
-    bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int(rate * (2**32)))
-    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+    if interpret:
+        bits = jax.random.bits(
+            jax.random.PRNGKey(mixed.astype(jnp.uint32)), shape, jnp.uint32
+        )
+        keep = bits >= threshold
+    else:
+        pltpu.prng_seed(mixed)
+        bits = pltpu.prng_random_bits(shape)
+        keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
     return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
 class _DropoutCtx:
     """Per-kernel dropout helper; no-op when rate == 0 or eval."""
 
-    def __init__(self, seed_ref, rate: float, train: bool):
+    def __init__(self, seed_ref, rate: float, train: bool, interpret: bool = False):
         self.enabled = train and rate > 0.0
         self.rate = rate
+        self.interpret = interpret
         if self.enabled:
             self.seed = seed_ref[0]
         self.block = pl.program_id(0)
@@ -299,12 +318,14 @@ class _DropoutCtx:
     def apply(self, x, site):
         if not self.enabled:
             return x
-        return x * _keep_mask(x.shape, self.seed, self.block, site, self.rate)
+        return x * _keep_mask(
+            x.shape, self.seed, self.block, site, self.rate, self.interpret
+        )
 
     def mask(self, shape, site):
         if not self.enabled:
             return None
-        return _keep_mask(shape, self.seed, self.block, site, self.rate)
+        return _keep_mask(shape, self.seed, self.block, site, self.rate, self.interpret)
 
 
 def _choose_fold(seq: int, g: int) -> int:
@@ -390,9 +411,10 @@ def _layer_fwd_kernel(
     o_ref,
     *scratch,
     heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
+    interpret=False,
 ):
     g, s, d = x_ref.shape
-    drop = _DropoutCtx(seed_ref, dropout_rate, train)
+    drop = _DropoutCtx(seed_ref, dropout_rate, train, interpret)
     x = x_ref[:].reshape(g * s, d).astype(jnp.float32)
 
     h = _ln(x, ln1s_ref[:], ln1b_ref[:])
@@ -424,10 +446,11 @@ def _layer_bwd_kernel(
     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *scratch,
     heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
+    interpret=False,
 ):
     g, s, d = x_ref.shape
     gs = g * s
-    drop = _DropoutCtx(seed_ref, dropout_rate, train)
+    drop = _DropoutCtx(seed_ref, dropout_rate, train, interpret)
     x0 = x_ref[:].reshape(gs, d).astype(jnp.float32)
     dy = dy_ref[:].reshape(gs, d).astype(jnp.float32)
 
@@ -725,7 +748,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         _layer_fwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
-        proj_dropout=proj_dropout,
+        proj_dropout=proj_dropout, interpret=interpret,
     )
     proj_fl = _proj_full_lane(s, bwd=False)
     seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor,
@@ -772,7 +795,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         _layer_bwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
-        proj_dropout=proj_dropout,
+        proj_dropout=proj_dropout, interpret=interpret,
     )
     proj_fl = _proj_full_lane(s, bwd=True)
     seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor,

@@ -127,8 +127,62 @@ def main():
         t_fb = median_chain_ms(train_step, x, n=30)
         print(f"  fwd {t_fwd:.3f} ms/layer   fwd+bwd {t_fb:.3f} ms/layer")
 
+    check_dropout_prng()
     check_simmim_kernels(rng)
     print("ok")
+
+
+def check_dropout_prng():
+    """Hardware-PRNG dropout semantics, cross-checked against the interpret
+    fallback (ops/fused_layer._keep_mask). CI runs the interpret branch
+    (jax.random bits from the same structural key); the chip runs
+    pltpu.prng_random_bits. The two BIT STREAMS are different generators by
+    design — what must agree (and is asserted here for both) is every
+    semantic the training recipe depends on: mask values in
+    {0, 1/(1-rate)}, keep fraction = 1-rate, determinism in the
+    (seed, block, site) key, and decorrelation across seeds/blocks/sites."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from maskedsst_tpu.ops.fused_layer import _keep_mask
+
+    rows, cols, blocks, rate = 256, 128, 2, 0.1
+
+    def kern(seed_ref, o_ref, *, site, interpret):
+        o_ref[:] = _keep_mask(
+            (rows, cols), seed_ref[0], pl.program_id(0), site, rate, interpret
+        )
+
+    def sample(seed, site, interpret=False):
+        return pl.pallas_call(
+            partial(kern, site=site, interpret=interpret),
+            out_shape=jax.ShapeDtypeStruct((blocks * rows, cols), jnp.float32),
+            grid=(blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(
+                (rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1))
+
+    for interpret in (False, True):
+        name = "interpret" if interpret else "mosaic"
+        m = np.asarray(sample(7, 1, interpret))
+        scale = np.float32(1.0 / (1.0 - rate))
+        assert set(np.unique(m)) <= {np.float32(0.0), scale}, name
+        keep = (m > 0).mean()
+        assert abs(keep - (1 - rate)) < 0.01, (name, keep)
+        np.testing.assert_array_equal(m, np.asarray(sample(7, 1, interpret)))
+        assert (np.asarray(sample(8, 1, interpret)) != m).mean() > 0.05, name
+        assert (np.asarray(sample(7, 3, interpret)) != m).mean() > 0.05, name
+        assert (m[:rows] != m[rows:]).mean() > 0.05, name  # blocks decorrelate
+        print(f"dropout prng [{name}]: keep {keep:.4f} (target {1-rate}), "
+              "values/determinism/decorrelation ok")
+    overlap = (np.asarray(sample(7, 1, False)) == np.asarray(sample(7, 1, True))).mean()
+    print(f"dropout prng: mosaic-vs-interpret bit overlap {overlap:.3f} "
+          "(different generators — semantic invariants above are the contract)")
 
 
 def check_simmim_kernels(rng):

@@ -78,14 +78,33 @@ def test_grad_parity():
         )
 
 
-def _needs_tpu_prng():
-    if jax.default_backend() == "cpu":
-        pytest.skip("pltpu.prng_seed has no CPU interpret lowering; "
-                    "dropout paths are verified on the TPU backend")
+def test_keep_mask_interpret_semantics():
+    """The interpret-mode PRNG fallback (pltpu.prng_seed has no CPU
+    lowering) must carry the exact semantics the chip executes: values in
+    {0, 1/(1-rate)}, keep fraction ≈ 1-rate, deterministic in the
+    structural (seed, block, site) key, and decorrelated across sites and
+    blocks — the same invariants scripts/tpu_kernel_check.py pins against
+    the hardware bit stream."""
+    from maskedsst_tpu.ops.fused_layer import _keep_mask
+
+    rate = 0.3
+    args = (jnp.int32(7), jnp.int32(2), 5)
+    m = np.asarray(_keep_mask((64, 128), *args, rate, interpret=True))
+    scale = 1.0 / (1.0 - rate)
+    assert set(np.unique(m)) <= {0.0, np.float32(scale)}
+    assert abs((m > 0).mean() - (1 - rate)) < 0.03
+    m2 = np.asarray(_keep_mask((64, 128), *args, rate, interpret=True))
+    np.testing.assert_array_equal(m, m2)  # deterministic
+    for other in (
+        (jnp.int32(8), jnp.int32(2), 5),   # different layer seed
+        (jnp.int32(7), jnp.int32(3), 5),   # different grid block
+        (jnp.int32(7), jnp.int32(2), 7),   # different dropout site
+    ):
+        mo = np.asarray(_keep_mask((64, 128), *other, rate, interpret=True))
+        assert (mo != m).mean() > 0.2
 
 
 def test_dropout_semantics():
-    _needs_tpu_prng()
     p = _params()
     x = jax.random.normal(jax.random.PRNGKey(3), (4, 16, D))
     eval_out = _fused(x, p, rate=0.5, train=False)
@@ -103,7 +122,6 @@ def test_dropout_semantics():
 def test_dropout_grad_uses_same_mask():
     """grad of sum through dropout must be consistent with the fwd mask:
     finite-difference along one input coordinate."""
-    _needs_tpu_prng()
     p = _params()
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, D))
 
@@ -123,7 +141,6 @@ def test_no_projection_dropout_fwd_bwd_consistent():
     applied the _SITE_PROJ mask in the forward but skipped it in the backward
     recompute, silently training against a different forward. Pin with a
     finite difference through the actual loss."""
-    _needs_tpu_prng()
     ks = jax.random.split(jax.random.PRNGKey(9), 2)
     sc = lambda k, shape: (jax.random.normal(k, shape) * 0.1).astype(jnp.float32)
     p = LayerParams(
