@@ -262,6 +262,31 @@ def test_cli_restore_and_gt_files(tmp_path, monkeypatch, capsys):
     assert "restored params from" in out
 
 
+@pytest.mark.parametrize("baseline", ["SVM", "SVM_grid", "SGD", "nearest"])
+def test_cli_sklearn_baselines(baseline, tmp_path, monkeypatch, capsys):
+    """The four sklearn baseline branches (reference DeepHyperX/
+    main.py:321-368) through the real CLI on a tiny synthetic scene: SVM,
+    SVM_grid (kernel grid search), SGD (standard-scaled) and nearest
+    (n_neighbors grid search) must each train, predict the full scene, and
+    produce the metrics report."""
+    import sys
+
+    from maskedsst_tpu.hyperx.main import main
+
+    np.random.seed(0)
+    argv = [
+        "main", "--model", baseline, "--synthetic-scene",
+        "--training_sample", "0.05",
+        "--checkpoint-dir", "none", "--out-dir", "none",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    out = capsys.readouterr().out
+    assert "Accuracy" in out and "Kappa" in out
+    if baseline == "SVM_grid":
+        assert "SVM best parameters" in out
+
+
 def test_standalone_inference_cli(tmp_path, monkeypatch):
     """hyperx.inference: checkpoint -> sliding-window maps on a .npy scene
     (reference DeepHyperX/inference.py:16-163)."""
