@@ -78,7 +78,7 @@ def device_total_ms(logdir: str) -> float:
 
 
 def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: int,
-          module_ms: float = float("nan")):
+          module_ms: float = float("nan")) -> dict:
     # a low busy/envelope ratio is ambiguous (dropped Perfetto events OR real
     # device idle inside the module span); the stderr warning does not
     # survive into the JSON record, so flag the ambiguity in-band — a reader
@@ -89,7 +89,7 @@ def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: i
         and module_ms > 0
         and device_ms / module_ms < 0.9
     )
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(cubes_per_sec_per_chip, 1),
         "unit": "cubes/s/chip",
@@ -98,7 +98,61 @@ def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: i
         # judge an op-sum-vs-envelope warning without re-running the trace
         "device_module_ms_per_step": round(module_ms / steps, 3) if module_ms == module_ms else None,
         "trace_suspect": suspect,
-    }), flush=True)
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+# --assert thresholds on the trace DEVICE time per step (wall throughput on
+# this shared chip varies ~2x with load and cannot gate; device timings are
+# deterministic to ±0.001 ms — BASELINE.md "Measured status (round 3/4)").
+# Limits are ≥8% over the recorded numbers (houston 10.88, finetune bs64
+# fp32 34.98 / bf16 31.08 ms/step). The bs-2 reference-recipe leg gates on
+# the MODULE-ENVELOPE time instead: its trace is legitimately gap-heavy
+# (tiny ops + DMA waits idle inside the module span), so the op-sum busy
+# time trips the suspect flag on every run — the envelope (a handful of
+# large events, not subject to the dropped-op-events Perfetto failure) is
+# the stable per-step anchor there (round-4 measured 1.32 busy / 1.35
+# envelope ms/step; the suspect flag is load-dependent — gap-light runs
+# land within 0.9 of the envelope, loaded ones don't).
+DEVICE_MS_LIMITS = {
+    "houston_pretrain_cubes_per_sec_per_chip": ("device_ms_per_step", 11.8),
+    "finetune_enmap_bs2_cubes_per_sec_per_chip": ("device_module_ms_per_step", 1.55),
+    "finetune_enmap_bs64_cubes_per_sec_per_chip": ("device_ms_per_step", 37.8),
+    "finetune_enmap_bs64_bf16_cubes_per_sec_per_chip": ("device_ms_per_step", 33.6),
+}
+
+
+def check_device_regressions(records, limits=None):
+    """(failures, missing) of the emitted records against DEVICE_MS_LIMITS.
+
+    A thresholded metric absent from ``records`` (workload skipped or
+    crashed) is reported missing — absence is the worst regression, not a
+    pass. A record whose gated field is None (no/untrustworthy trace) or
+    whose busy-time gate rides a suspect trace FAILS: a lossy trace
+    understates device time and would otherwise false-pass (same policy as
+    kernel_tune.check_regressions)."""
+    limits = DEVICE_MS_LIMITS if limits is None else limits
+    failures, seen = [], set()
+    for rec in records:
+        entry = limits.get(rec["metric"])
+        if entry is None:
+            continue
+        field, lim = entry
+        seen.add(rec["metric"])
+        ms = rec.get(field)
+        if ms is None:
+            print(f"device check {rec['metric']}: {field} missing (trace failed) ... FAIL")
+            failures.append((rec["metric"], float("nan"), lim))
+        elif field == "device_ms_per_step" and rec.get("trace_suspect"):
+            print(f"device check {rec['metric']}: trace suspect (op sum below envelope) ... FAIL")
+            failures.append((rec["metric"], float("nan"), lim))
+        else:
+            status = "ok" if ms <= lim else "REGRESSION"
+            print(f"device check {rec['metric']}: {field} {ms:.3f} ms <= {lim} ... {status}")
+            if ms > lim:
+                failures.append((rec["metric"], ms, lim))
+    return failures, sorted(set(limits) - seen)
 
 
 def bench_houston_pretrain(steps: int) -> None:
@@ -149,7 +203,7 @@ def bench_houston_pretrain(steps: int) -> None:
         state, losses = trainer._train_superstep(state, store.arrays["img"], idx)
         _ = float(losses[-1])
     dev, mod = device_trace_ms(logdir) if info["traced"] else (float("nan"),) * 2
-    _emit(
+    return _emit(
         "houston_pretrain_cubes_per_sec_per_chip",
         steps * config.batch_size / wall / trainer.mesh.devices.size,
         dev, steps, module_ms=mod,
@@ -218,7 +272,7 @@ def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> N
         _ = float(np.asarray(metrics["loss"])[-1])
     dev, mod = device_trace_ms(logdir) if info["traced"] else (float("nan"),) * 2
     tag = "_bf16" if bf16 else ""
-    _emit(
+    return _emit(
         f"finetune_enmap_bs{config.batch_size}{tag}_cubes_per_sec_per_chip",
         steps * config.batch_size / wall / ft.mesh.devices.size,
         dev, steps, module_ms=mod,
@@ -229,26 +283,43 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workloads", default="houston_pretrain,finetune_enmap")
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument(
+        "--assert", dest="assert_", action="store_true",
+        help="after the benchmarks, check every recorded workload's device "
+        "time against DEVICE_MS_LIMITS and exit non-zero on a regression "
+        "(requires the default --workloads so all thresholded metrics run)")
     args = ap.parse_args()
 
     from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
 
+    records = []
     for w in args.workloads.split(","):
         if w == "houston_pretrain":
-            bench_houston_pretrain(args.steps)
+            records.append(bench_houston_pretrain(args.steps))
         elif w == "finetune_enmap":
             # the recipe's own batch (2, finetune_config_enmap.yaml) is
             # dispatch-bound; also measure batch 64 for a device-saturating
             # number comparable to the pretrain bench, plus the --bf16
             # opt-in path (the pretrain bench runs bf16 — this is the
             # apples-to-apples finetune number)
-            bench_finetune_enmap(max(8, args.steps // 2))
-            bench_finetune_enmap(max(8, args.steps // 2), batch=64)
-            bench_finetune_enmap(max(8, args.steps // 2), batch=64, bf16=True)
+            records.append(bench_finetune_enmap(max(8, args.steps // 2)))
+            records.append(bench_finetune_enmap(max(8, args.steps // 2), batch=64))
+            records.append(bench_finetune_enmap(max(8, args.steps // 2), batch=64, bf16=True))
         else:
             raise SystemExit(f"unknown workload {w}")
+
+    if args.assert_:
+        failures, missing = check_device_regressions(records)
+        if missing:
+            sys.exit(
+                f"--assert: thresholded workloads not measured (crashed or "
+                f"restricted --workloads): {missing}"
+            )
+        if failures:
+            sys.exit(f"geometry device-time regression: {failures}")
+        print("device check: all measured workloads within bounds")
 
 
 if __name__ == "__main__":

@@ -66,12 +66,35 @@ def trace_suspect(logdir: str):
 
 # thresholds from BASELINE.md's roofline appendix (≥8% over the round-3
 # device-time numbers at the production block sizes; trace timings are
-# deterministic to ±0.001 ms, so a trip is a real regression, not noise)
+# deterministic to ±0.001 ms, so a trip is a real regression, not noise),
+# keyed per --geometry. The EnMAP recipe (200 bands → 20 blocks, seq 64/20)
+# is the flagship; Houston2018 (50 bands → 5 blocks, seq 64/5) is the
+# geometry that CRASHED on real TPU in round 3 (odd-seq bf16 slab packing,
+# fused_layer._odd_packed_slab) — its spectral entries gate the fp32-I/O
+# fallback path specifically, which no EnMAP shape exercises.
 REGRESSION_LIMITS = {
-    ("spatial", 16, "fwd"): 1.15,
-    ("spatial", 16, "fwdbwd"): 3.43,
-    ("spectral", 32, "fwd"): 1.27,
-    ("spectral", 32, "fwdbwd"): 4.11,
+    "enmap": {
+        ("spatial", 16, "fwd"): 1.15,
+        ("spatial", 16, "fwdbwd"): 3.43,
+        ("spectral", 32, "fwd"): 1.27,
+        ("spectral", 32, "fwdbwd"): 4.11,
+    },
+    # round-4 device measurements (ms/layer, chain 8): spatial (320, 64)
+    # g16 fwd 0.266 / fwdbwd 0.804; spectral (4096, 5) g32 through
+    # _odd_packed_slab fwd 0.540 / fwdbwd 1.630 — ≥8% headroom applied
+    "houston": {
+        ("spatial", 16, "fwd"): 0.29,
+        ("spatial", 16, "fwdbwd"): 0.87,
+        ("spectral", 32, "fwd"): 0.59,
+        ("spectral", 32, "fwdbwd"): 1.77,
+    },
+}
+
+# tokens per cube along each stack, per geometry: the spatial stack sees
+# [B*blocks, patches] rows×seq, the spectral stack [B*patches, blocks]
+GEOMETRY_SHAPES = {
+    "enmap": {"spatial": (20, 64), "spectral": (64, 20)},
+    "houston": {"spatial": (5, 64), "spectral": (64, 5)},
 }
 
 
@@ -96,6 +119,8 @@ def nonproduction_overrides(args) -> list:
         overrides.append("--full-lane/--head-major")
     if args.head_major_proj or args.full_lane_proj:
         overrides.append("--head-major-proj/--full-lane-proj")
+    if getattr(args, "odd_seq_pad", False):
+        overrides.append("--odd-seq-pad")
     if args.chain != 8:
         # thresholds were measured chain-amortized at chain 8; a different
         # chain length changes dispatch/pipelining amortization
@@ -103,7 +128,7 @@ def nonproduction_overrides(args) -> list:
     return overrides
 
 
-def check_regressions(results, limits=None, suspects=None):
+def check_regressions(results, limits=None, suspects=None, geometry="enmap"):
     """(failures, missing) against the production thresholds.
 
     ``results`` is the sweep's [(key, label, ms, _), ...] with key the
@@ -122,7 +147,7 @@ def check_regressions(results, limits=None, suspects=None):
     train-mode forward): main() refuses --assert-regression under any sweep
     override that changes them, so a fold-8 or --eval run can neither
     phantom-trip nor false-pass the gate."""
-    limits = REGRESSION_LIMITS if limits is None else limits
+    limits = REGRESSION_LIMITS[geometry] if limits is None else limits
     failures = []
     measured = set()
     for key, _label, ms, _ in results:
@@ -145,6 +170,12 @@ def check_regressions(results, limits=None, suspects=None):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument(
+        "--geometry", default="enmap", choices=sorted(GEOMETRY_SHAPES),
+        help="recipe geometry the token shapes derive from (enmap: seq "
+        "64/20; houston: seq 64/5, spectral rides the odd-seq fp32-I/O "
+        "slab fallback). --assert-regression uses the matching threshold "
+        "table.")
     ap.add_argument("--shapes", default="spatial,spectral")
     ap.add_argument("--gs", default="")
     ap.add_argument("--folds", default="", help="comma list of fold overrides (spectral-style short-seq folding)")
@@ -171,6 +202,12 @@ def main() -> None:
     ap.add_argument(
         "--full-lane-proj", action="store_true",
         help="force the full-lane output-projection form in BOTH kernels")
+    ap.add_argument(
+        "--odd-seq-pad", action="store_true",
+        help="force the ODD_SEQ_PAD route for odd-seq bf16 slabs (zero-pad "
+        "seq+1 with a masked pad key, bf16 I/O kept) instead of the "
+        "default fp32-I/O fallback — the A/B control for the Houston "
+        "spectral geometry")
     ap.add_argument(
         "--assert-regression", action="store_true",
         help="after the sweep, check the production configurations against "
@@ -202,6 +239,8 @@ def main() -> None:
         fl.FULL_LANE_PROJ = False
     elif args.full_lane_proj:
         fl.FULL_LANE_PROJ = True
+    if args.odd_seq_pad:
+        fl.ODD_SEQ_PAD = True
 
     rng = np.random.default_rng(0)
     suspects = {}
@@ -219,8 +258,8 @@ def main() -> None:
         )
 
     SHAPES = {
-        "spatial": (args.batch * 20, 64),   # [b*c, hw] tokens
-        "spectral": (args.batch * 64, 20),  # [b*hw, c] tokens
+        name: (args.batch * blocks, seq)  # [b*c, hw] / [b*hw, c] tokens
+        for name, (blocks, seq) in GEOMETRY_SHAPES[args.geometry].items()
     }
 
     params = mk_params()
@@ -318,7 +357,9 @@ def main() -> None:
                 "--assert-regression requires production measurement "
                 f"conditions; drop the overrides: {', '.join(overrides)}"
             )
-        failures, missing = check_regressions(results, suspects=suspects)
+        failures, missing = check_regressions(
+            results, suspects=suspects, geometry=args.geometry
+        )
         if missing:
             sys.exit(
                 f"--assert-regression: thresholded configurations not "

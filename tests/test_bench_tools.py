@@ -145,6 +145,92 @@ def test_assert_regression_fails_on_suspect_trace():
     assert key == ("spectral", 32, "fwdbwd") and ms != ms  # NaN ms
 
 
+def test_assert_regression_geometry_tables():
+    """Each --geometry judges against its own threshold table (round-4 gate
+    extension): the Houston shapes share the (shape, g, mode) keys with
+    EnMAP but run ~4x faster — judging them against the EnMAP limits would
+    never trip, and vice versa would always trip."""
+    kt = _load("kernel_tune")
+    results = [
+        _result("spatial", 16, "fwd", 0.27),
+        _result("spatial", 16, "fwdbwd", 0.80),
+        _result("spectral", 32, "fwd", 0.54),
+        _result("spectral", 32, "fwdbwd", 1.63),
+    ]
+    failures, missing = kt.check_regressions(results, geometry="houston")
+    assert failures == [] and missing == []
+    # the same numbers under the default (enmap) table would false-pass a
+    # houston regression: 1.63 is under the enmap 4.11 fwdbwd limit but
+    # nearly 2x the houston one
+    slow = [_result("spectral", 32, "fwdbwd", 3.0)] + results[:3]
+    failures, missing = kt.check_regressions(slow, geometry="houston")
+    assert failures == [(("spectral", 32, "fwdbwd"), 3.0, kt.REGRESSION_LIMITS["houston"][("spectral", 32, "fwdbwd")])]
+    failures, _ = kt.check_regressions(slow, geometry="enmap")
+    assert failures == []
+
+
+# --- bench_geometries.check_device_regressions --------------------------------
+
+def _georec(metric, dev, mod, suspect=False):
+    return {
+        "metric": metric, "value": 1000.0, "unit": "cubes/s/chip",
+        "device_ms_per_step": dev, "device_module_ms_per_step": mod,
+        "trace_suspect": suspect,
+    }
+
+
+def test_geometry_device_gate_within_bounds():
+    bg = _load("bench_geometries")
+    records = [
+        _georec("houston_pretrain_cubes_per_sec_per_chip", 10.9, 11.0),
+        _georec("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.31, 1.50, suspect=True),
+        _georec("finetune_enmap_bs64_cubes_per_sec_per_chip", 35.0, 35.2),
+        _georec("finetune_enmap_bs64_bf16_cubes_per_sec_per_chip", 31.1, 31.3),
+    ]
+    failures, missing = bg.check_device_regressions(records)
+    assert failures == [] and missing == []
+
+
+def test_geometry_device_gate_trips_and_reports_missing():
+    bg = _load("bench_geometries")
+    records = [
+        _georec("houston_pretrain_cubes_per_sec_per_chip", 13.0, 13.1),  # slow
+        _georec("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.31, 1.9),  # envelope slow
+        _georec("finetune_enmap_bs64_cubes_per_sec_per_chip", 35.0, 35.2),
+        # bf16 leg absent: crashed
+    ]
+    failures, missing = bg.check_device_regressions(records)
+    lim_h = bg.DEVICE_MS_LIMITS["houston_pretrain_cubes_per_sec_per_chip"][1]
+    lim_2 = bg.DEVICE_MS_LIMITS["finetune_enmap_bs2_cubes_per_sec_per_chip"][1]
+    assert ("houston_pretrain_cubes_per_sec_per_chip", 13.0, lim_h) in failures
+    assert ("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.9, lim_2) in failures
+    assert missing == ["finetune_enmap_bs64_bf16_cubes_per_sec_per_chip"]
+
+
+def test_geometry_device_gate_rejects_untrustworthy_traces():
+    """A busy-time-gated workload with a suspect trace (op sum << envelope
+    on a kernel-dense workload = dropped Perfetto events) must FAIL, not
+    false-pass on the understated number; a missing trace likewise. The
+    bs-2 leg gates on the module envelope precisely because its suspect
+    flag fires legitimately (gap-heavy module), so suspect does NOT fail
+    it — but a missing envelope does."""
+    bg = _load("bench_geometries")
+    records = [
+        _georec("houston_pretrain_cubes_per_sec_per_chip", 5.0, 11.0, suspect=True),
+        _georec("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.31, None),
+        _georec("finetune_enmap_bs64_cubes_per_sec_per_chip", None, None),
+        _georec("finetune_enmap_bs64_bf16_cubes_per_sec_per_chip", 31.1, 31.3),
+    ]
+    failures, missing = bg.check_device_regressions(records)
+    assert missing == []
+    failed = {m for m, _, _ in failures}
+    assert failed == {
+        "houston_pretrain_cubes_per_sec_per_chip",
+        "finetune_enmap_bs2_cubes_per_sec_per_chip",
+        "finetune_enmap_bs64_cubes_per_sec_per_chip",
+    }
+
+
 def test_kernel_tune_trace_suspect(tmp_path):
     """trace_suspect flags over-counted traces AND low op-sum/envelope
     ratios (the sweep's chained-layer traces are ~100% busy, so a low ratio
