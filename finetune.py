@@ -4,7 +4,7 @@
 Usage (reference-compatible positional dataset name):
 
   python finetune.py {enmap|houston2018} [--synthetic] [--epochs N]
-                     [--steps N] [--checkpoint PATH|none] [--cpu] [--bf16]
+                     [--steps N] [--checkpoint PATH|none] [--cpu] [--fp32]
 
 The model comes from ``method_name`` in the finetune config (li /
 ViTSpatialSpectral / ViTRGB). ``--checkpoint`` overrides the config's
@@ -32,9 +32,27 @@ def main() -> None:
     parser.add_argument("--checkpoint", default=None, help="'none' disables loading")
     parser.add_argument("--models-dir", default="models")
     parser.add_argument("--cpu", action="store_true")
+    # bf16 compute (fp32 params) is the DEFAULT since round 4: +12% train
+    # throughput (BASELINE.md finetune bs-64 34.98 → 31.08 ms device step)
+    # with accuracy pinned vs fp32 (tests/test_pipeline.py bf16 legs). The
+    # reference trains fp32-only; --fp32 restores that exactly.
     parser.add_argument(
-        "--bf16", action="store_true", help="bfloat16 compute (fp32 params)"
+        "--fp32", action="store_true", help="fp32 compute (the pre-round-4 "
+        "and reference behavior; default is bfloat16 compute, fp32 params)"
     )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="(deprecated no-op: bf16 compute is the default; see --fp32)"
+    )
+    # multi-host entry — see pretrain.py (same contract: every process runs
+    # this driver; rank 0 alone persists)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed and train over the "
+                        "global multi-process mesh")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator address host:port (--multihost)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -67,9 +85,25 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    mesh = get_mesh()
+    if args.multihost:
+        from maskedsst_tpu.parallel.mesh import initialize_multihost
+
+        mh = {}
+        if args.coordinator:
+            mh["coordinator_address"] = args.coordinator
+        if args.num_processes is not None:
+            mh["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            mh["process_id"] = args.process_id
+        mesh = initialize_multihost(**mh)
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"global mesh {dict(mesh.shape)}"
+        )
+    else:
+        mesh = get_mesh()
     model, trainer_kwargs = build_finetune_model(
-        config, mesh=mesh, dtype=jnp.bfloat16 if args.bf16 else None
+        config, mesh=mesh, dtype=None if args.fp32 else jnp.bfloat16
     )
 
     params = None

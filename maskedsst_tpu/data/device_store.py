@@ -61,12 +61,21 @@ class DeviceTileStore:
                 host[k].append(np.asarray(sample[k]))
         host = {k: np.stack(v) for k, v in host.items()}
         sharding = replicate(mesh)
-        # device_put straight from numpy: jnp.asarray first would place the
-        # whole tile set on the default device and then copy it AGAIN to the
-        # replicated sharding — a transient 2x HBM spike at upload time
-        self.arrays: Dict[str, jax.Array] = {
-            k: jax.device_put(v, sharding) for k, v in host.items()
-        }
+        if jax.process_count() > 1:
+            # multi-process mesh: every process holds the full tile set (the
+            # store's small-corpora contract — big sets raise MemoryError
+            # above and stream per-host shards instead); assemble the global
+            # replicated array from the identical per-process copies
+            def put(v):
+                return jax.make_array_from_process_local_data(sharding, v)
+        else:
+            # device_put straight from numpy: jnp.asarray first would place
+            # the whole tile set on the default device and then copy it
+            # AGAIN to the replicated sharding — a transient 2x HBM spike
+            def put(v):
+                return jax.device_put(v, sharding)
+
+        self.arrays: Dict[str, jax.Array] = {k: put(v) for k, v in host.items()}
         self.num_samples = n
         self.mesh = mesh
 

@@ -101,6 +101,21 @@ def initialize_multihost(**kwargs) -> Mesh:
     return get_mesh()
 
 
+def put_replicated(mesh: Mesh, a):
+    """A small host array → globally-replicated device array.
+
+    Single-process: a plain local array (jit reshards freely). Multi-process:
+    every input to a global jitted computation must be a global jax.Array —
+    the trainers' same-seed loader contract makes each process build the
+    identical value (index batches), so the global replicated array
+    assembles from the per-process copies."""
+    if jax.process_count() == 1:
+        import jax.numpy as jnp
+
+        return jnp.asarray(a)
+    return jax.make_array_from_process_local_data(replicate(mesh), np.asarray(a))
+
+
 def shard_host_batch(mesh: Mesh, batch):
     """Assemble a GLOBAL batch from per-process local shards.
 

@@ -27,7 +27,12 @@ import numpy as np
 
 from maskedsst_tpu.config import Config
 from maskedsst_tpu.data.pipeline import DataLoader
-from maskedsst_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+from maskedsst_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    put_replicated,
+    replicate,
+)
 from maskedsst_tpu.train.checkpoint import save_checkpoint
 from maskedsst_tpu.train.losses import cross_entropy
 from maskedsst_tpu.train.metrics import macro_accuracy, micro_accuracy
@@ -562,7 +567,9 @@ class Finetuner:
                     k = self.steps_per_call
                     fits_budget = (not strict) or (step + k <= step_budget)
                     if k > 1 and i + k <= len(batches) and fits_budget:
-                        chunk = jnp.asarray(np.stack(batches[i : i + k]))
+                        # multi-process: index batches must be GLOBAL arrays
+                        # (same-seed loaders build them identically per rank)
+                        chunk = put_replicated(self.mesh, np.stack(batches[i : i + k]))
                         self.state, metrics_k = self._train_superstep(
                             self.state,
                             train_store.arrays["img"],
@@ -588,7 +595,7 @@ class Finetuner:
                         self.state,
                         train_store.arrays["img"],
                         train_store.arrays["label"],
-                        jnp.asarray(batch),
+                        put_replicated(self.mesh, batch),
                     )
                     push_window(metrics)
                     step += 1
@@ -608,7 +615,7 @@ class Finetuner:
                             self.state,
                             val_store.arrays["img"],
                             val_store.arrays["label"],
-                            jnp.asarray(batch),
+                            put_replicated(self.mesh, batch),
                         )
                         out = jax.tree.map(np.asarray, out)
                         sums = out if sums is None else jax.tree.map(np.add, sums, out)

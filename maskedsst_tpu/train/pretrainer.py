@@ -28,7 +28,13 @@ import numpy as np
 from maskedsst_tpu.config import Config
 from maskedsst_tpu.data.pipeline import DataLoader, split_dataset
 from maskedsst_tpu.models import SimMIMSpatialSpectral, ViTSpatialSpectral
-from maskedsst_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+from maskedsst_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    put_replicated,
+    replicate,
+    shard_host_batch,
+)
 from maskedsst_tpu.train.checkpoint import save_checkpoint
 from maskedsst_tpu.train.optim import (
     CosineAnnealingLR,
@@ -316,6 +322,25 @@ class Pretrainer:
             self.scheduler.load_state_dict(sched)
         return int(self.state.step)
 
+    def _put_replicated(self, a):
+        """Index vectors → device arrays consumable by the global jitted
+        step (parallel.mesh.put_replicated over this trainer's mesh)."""
+        return put_replicated(self.mesh, a)
+
+    def _global_batch(self, img):
+        """Host-streamed image batch → global array sharded on the data
+        axis. Each process contributes its process-local row slice of the
+        (identically constructed, same-seed) global batch — the
+        shard_host_batch input contract; on one process this is the plain
+        data-axis device_put."""
+        img = np.asarray(img)
+        nproc = jax.process_count()
+        if nproc > 1:
+            rows = img.shape[0] // nproc
+            pid = jax.process_index()
+            img = img[pid * rows : (pid + 1) * rows]
+        return shard_host_batch(self.mesh, img)
+
     def _scheduler_extra(self) -> dict:
         return (
             {"scheduler": self.scheduler.state_dict()} if self.scheduler is not None else {}
@@ -456,7 +481,7 @@ class Pretrainer:
                         self.state, chunk_losses = self._train_superstep(
                             self.state,
                             train_store.arrays["img"],
-                            jnp.asarray(np.stack(chunk)),
+                            self._put_replicated(np.stack(chunk)),
                         )
                         metrics = {"loss": chunk_losses[-1]}
                         # append the WHOLE loss vector: one host fetch per
@@ -469,7 +494,8 @@ class Pretrainer:
                     else:
                         for idx in chunk:
                             self.state, metrics = self._train_step_idx(
-                                self.state, train_store.arrays["img"], jnp.asarray(idx)
+                                self.state, train_store.arrays["img"],
+                                self._put_replicated(idx),
                             )
                             loss_window.append(metrics["loss"])
                             step += 1
@@ -481,7 +507,7 @@ class Pretrainer:
                 for batch in loader:
                     prev_step = step
                     self.state, metrics = self._train_step(
-                        self.state, jnp.asarray(batch["img"])
+                        self.state, self._global_batch(batch["img"])
                     )
                     loss_window.append(metrics["loss"])
                     step += 1
@@ -512,10 +538,13 @@ class Pretrainer:
                     vkey = jax.random.fold_in(jax.random.PRNGKey(7), epoch * 10000 + vi)
                     if train_store is not None:
                         vloss = self._val_step_idx(
-                            self.state, val_store.arrays["img"], jnp.asarray(batch), vkey
+                            self.state, val_store.arrays["img"],
+                            self._put_replicated(batch), vkey,
                         )
                     else:
-                        vloss = self._val_step(self.state, jnp.asarray(batch["img"]), vkey)
+                        vloss = self._val_step(
+                            self.state, self._global_batch(batch["img"]), vkey
+                        )
                     val_losses.append(float(vloss))
                 if val_losses:
                     val_loss = float(np.mean(val_losses))

@@ -5,7 +5,7 @@ Usage (reference-compatible: ``python pretrain.py`` runs the shipped config):
 
   python pretrain.py [--pretrain-config configs/pretrain_config.yaml]
                      [--config configs/config.yaml]
-                     [--synthetic] [--epochs N] [--steps N] [--bf16]
+                     [--synthetic] [--epochs N] [--steps N] [--fp32]
 """
 
 import argparse
@@ -24,10 +24,29 @@ def main() -> None:
     parser.add_argument("--synthetic", action="store_true", help="train on synthetic cubes")
     parser.add_argument("--epochs", type=int, default=None, help="override config.epoch")
     parser.add_argument("--steps", type=int, default=None, help="stop after N steps")
-    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (fp32 params)")
+    # bf16 compute (fp32 params) is the DEFAULT since round 4 — it is the
+    # configuration every bench/BASELINE.md number measures; --fp32 restores
+    # the reference's fp32-only training
+    parser.add_argument("--fp32", action="store_true", help="fp32 compute "
+                        "(default is bfloat16 compute, fp32 params)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="(deprecated no-op: bf16 is the default; see --fp32)")
     parser.add_argument("--models-dir", default="models")
     parser.add_argument("--resume", default=None, help="checkpoint to resume from (full state)")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    # multi-host entry (SURVEY.md §5.8): join the jax.distributed cluster and
+    # train on the GLOBAL mesh over every chip of the slice. On Cloud TPU the
+    # coordinator/process id come from the TPU environment, so bare
+    # --multihost suffices; elsewhere pass the three flags explicitly. Every
+    # process runs this same driver; only process 0 writes checkpoints and
+    # tracker rows (rank-gated in train/checkpoint.py + utils/tracking.py).
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed and train over the "
+                        "global multi-process mesh")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator address host:port (--multihost)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -48,11 +67,28 @@ def main() -> None:
     from maskedsst_tpu.train.pretrainer import Pretrainer
     from maskedsst_tpu.utils.tracking import Tracker
 
+    mesh = None
+    if args.multihost:
+        from maskedsst_tpu.parallel.mesh import initialize_multihost
+
+        mh = {}
+        if args.coordinator:
+            mh["coordinator_address"] = args.coordinator
+        if args.num_processes is not None:
+            mh["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            mh["process_id"] = args.process_id
+        mesh = initialize_multihost(**mh)
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"global mesh {dict(mesh.shape)}"
+        )
+
     config = get_pretrain_config(args.pretrain_config, args.config, SEED)
     config.synthetic_tiles = args.synthetic_tiles
     dataset = get_dataset(config, supervised=False, synthetic=args.synthetic)
 
-    trainer = Pretrainer(config, dtype=jnp.bfloat16 if args.bf16 else None)
+    trainer = Pretrainer(config, mesh=mesh, dtype=None if args.fp32 else jnp.bfloat16)
     print(f"devices: {jax.devices()}")
     print(f"model parameters: {trainer.num_params:,}")
     if args.resume:
@@ -70,6 +106,10 @@ def main() -> None:
     tracker.finish()
     if history["throughput"]:
         print("throughput:", {k: round(v, 2) for k, v in history["throughput"].items()})
+    if history["train_loss"]:
+        # machine-parseable end-of-run marker (the multi-host harness
+        # compares it across ranks and against a single-process control)
+        print(f"FINAL train_loss={history['train_loss'][-1]:.10f}")
 
 
 if __name__ == "__main__":
