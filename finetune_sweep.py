@@ -27,8 +27,15 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--cpu", action="store_true")
+    # bf16 compute is the default since round 4 (see finetune.py); --fp32
+    # restores the reference's fp32-only training
     parser.add_argument(
-        "--bf16", action="store_true", help="bfloat16 compute (fp32 params)"
+        "--fp32", action="store_true", help="fp32 compute (default is "
+        "bfloat16 compute, fp32 params)"
+    )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="(deprecated no-op: bf16 compute is the default; see --fp32)"
     )
     args = parser.parse_args()
 
@@ -89,7 +96,7 @@ def main() -> None:
 
     mesh = get_mesh()
     model, trainer_kwargs = build_finetune_model(
-        config, mesh=mesh, dtype=jnp.bfloat16 if args.bf16 else None
+        config, mesh=mesh, dtype=None if args.fp32 else jnp.bfloat16
     )
 
     # load the pretrained encoder like the reference sweep driver does

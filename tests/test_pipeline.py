@@ -18,6 +18,9 @@ far below the observed floor.
 import glob
 import os
 
+import jax.numpy as jnp
+import numpy as np
+
 from maskedsst_tpu.config import get_finetune_config, get_pretrain_config
 from maskedsst_tpu.data.pipeline import split_dataset
 from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
@@ -77,8 +80,14 @@ def test_pretrain_then_finetune_beats_scratch(tmp_path):
     val_ds, train_ds = split_dataset(labeled, 0.8, seed=5)
 
     accs = {}
-    for name, path in [("pretrained", ckpt), ("scratch", None)]:
-        model, kwargs = build_finetune_model(fcfg)
+    for name, path, dtype in [
+        ("pretrained", ckpt, None),
+        ("scratch", None, None),
+        # the bf16-compute leg (the round-4 driver default, fp32 params):
+        # transfer must survive the precision drop, not just run
+        ("pretrained_bf16", ckpt, jnp.bfloat16),
+    ]:
+        model, kwargs = build_finetune_model(fcfg, dtype=dtype)
         params = load_pretrained_params(path, fcfg, model) if path else None
         if path:
             assert params is not None, "checkpoint import returned None"
@@ -90,3 +99,40 @@ def test_pretrain_then_finetune_beats_scratch(tmp_path):
         accs[name] = out["best_val_acc"]
 
     assert accs["pretrained"] > accs["scratch"] + 0.05, accs
+    assert accs["pretrained_bf16"] > accs["scratch"] + 0.05, accs
+    # bf16 vs fp32 is precision noise, not an accuracy regression
+    assert abs(accs["pretrained_bf16"] - accs["pretrained"]) <= 0.1, accs
+
+
+def test_bf16_finetune_trajectory_tracks_fp32():
+    """Pin the accuracy claim behind the bf16-by-default finetune driver
+    (VERDICT r3 #2): identical config/seed/data, fp32 vs bfloat16 compute
+    (params stay fp32 either way — train/factory.py dtype plumb). The
+    per-superstep train losses must track within precision noise over 20
+    steps, and the final val accuracies must agree closely — bf16 rounding
+    is ~3 decimal digits, so a drift visible at these tolerances would be a
+    real semantics change (wrong cast placement, fp32-stat loss broken),
+    not noise."""
+    from maskedsst_tpu.train.factory import build_finetune_model
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    quiet = Tracker("pipeline-bf16-test", quiet=True, use_wandb=False)
+    fcfg = _tiny(get_finetune_config("configs/finetune_config_enmap.yaml", "configs/config.yaml"))
+    fcfg.spectral_pos = list(range(4))
+    labeled = SyntheticCubeDataset(num_tiles=48, n_bands=40, n_classes=fcfg.n_classes, seed=0)
+    val_ds, train_ds = split_dataset(labeled, 0.8, seed=5)
+
+    hist = {}
+    for name, dtype in [("fp32", None), ("bf16", jnp.bfloat16)]:
+        model, kwargs = build_finetune_model(fcfg, dtype=dtype)
+        ft = Finetuner(fcfg, model, **kwargs)
+        hist[name] = ft.fit(
+            train_ds, val_ds, save_checkpoints=False, epochs=100, max_steps=20,
+            tracker=quiet,
+        )
+
+    l32 = np.asarray([m["loss"] for m in hist["fp32"]["train"]])
+    l16 = np.asarray([m["loss"] for m in hist["bf16"]["train"]])
+    assert l32.size >= 2 and l32.shape == l16.shape
+    np.testing.assert_allclose(l16, l32, rtol=0.08, atol=0.05)
+    assert abs(hist["bf16"]["best_val_acc"] - hist["fp32"]["best_val_acc"]) <= 0.1

@@ -710,10 +710,11 @@ def test_linear_eval_freezes_vit_backbone(tmp_path):
 
 
 def test_finetune_factory_bf16_dtype():
-    """The --bf16 opt-in (finetune.py) plumbs a computation dtype through
-    build_finetune_model into the ViT: params must STAY fp32 (flax dtype is
-    compute-only), the train step must run and produce a finite fp32 loss,
-    and the li 3-D CNN must ignore the flag (paper recipe stays fp32)."""
+    """The bf16 driver default (finetune.py; --fp32 opts out) plumbs a
+    computation dtype through build_finetune_model into the ViT: params
+    must STAY fp32 (flax dtype is compute-only), the train step must run
+    and produce a finite fp32 loss, and the li 3-D CNN must ignore the
+    dtype (paper recipe stays fp32)."""
     from maskedsst_tpu.train.factory import build_finetune_model
     from maskedsst_tpu.train.finetuner import Finetuner
 
