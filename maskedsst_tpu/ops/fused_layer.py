@@ -109,6 +109,25 @@ FULL_LANE_QKV = True
 # --full-lane-proj / --head-major-proj).
 FULL_LANE_PROJ = "auto"
 
+# Odd-seq bf16 slabs (see _odd_packed_slab: Mosaic rejects the (g, s, d) →
+# (g*s, d) shape cast when s is odd in a 2-rows-per-sublane dtype) have two
+# lowering routes, A/B'd on v5e at the Houston spectral geometry
+# ((4096, 5), g32, chain 8, kernel_tune --geometry houston, round 4):
+#   True  — zero-pad seq → seq+1 in XLA, keep bf16 I/O, mask pad keys in
+#           the softmax (pad queries/grads are zero and sliced outside;
+#           weight grads stay exact because the pad rows' upstream grads
+#           are zero): fwd 0.500 / fwdbwd 1.539 ms/layer
+#   False — promote slab I/O to fp32 (2x DMA, kernel math unchanged):
+#           fwd 0.540 / fwdbwd 1.630 ms/layer
+# The PAD route wins ~6-7% per layer despite the fold-16 block growing
+# fS 80 → 96 (larger scores matmul): halved slab DMA + the cheaper bf16
+# VMEM traffic beat the extra masked FLOPs, and the full Houston pretrain
+# step confirms end-to-end (bench_geometries device step 10.878 → 10.317
+# ms, −5.2%, pad/slice XLA glue included). Default since round 4; the
+# fp32 route remains both the A/B control (kernel_tune --odd-seq-fp32)
+# and the only interpret-mode-verified exactness baseline.
+ODD_SEQ_PAD = True
+
 
 def _proj_full_lane(seq: int, bwd: bool) -> bool:
     """Resolve the output-projection form for one kernel (see
@@ -350,7 +369,24 @@ def _block_diag_mask(fold: int, seq: int):
     return (row == col)[None]  # [1, fS, fS], broadcast over batch
 
 
-def _attn_fwd(h, wqkv_ref, drop, heads, dim_head, seq, g, compute_dtype, want_cache=False, qkv_scratch=None):
+def _attn_mask(fold: int, seq: int, seq_real: int):
+    """Validity mask for the folded scores matrix, or None when every
+    position is valid. Combines the block-diagonal fold mask with the
+    pad-key mask of the ODD_SEQ_PAD route (positions seq_real..seq-1 of
+    each folded sequence are zero-pad tokens: they must not be attended TO;
+    their own query rows produce garbage that the caller slices away)."""
+    if fold == 1 and seq_real == seq:
+        return None
+    fs = fold * seq
+    row = jax.lax.broadcasted_iota(jnp.int32, (fs, fs), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (fs, fs), 1)
+    mask = row // seq == col // seq if fold > 1 else jnp.bool_(True)
+    if seq_real != seq:
+        mask = jnp.logical_and(mask, col % seq < seq_real)
+    return mask[None]  # [1, fS, fS], broadcast over batch
+
+
+def _attn_fwd(h, wqkv_ref, drop, heads, dim_head, seq, g, compute_dtype, want_cache=False, qkv_scratch=None, seq_real=None):
     """h [G*S, D] layer-normed tokens → (attention heads output
     [H, G*S, dh], cache) — fully batched, no per-head loops. `fold`
     independent sequences share one block-diagonal scores matmul; masked
@@ -387,8 +423,9 @@ def _attn_fwd(h, wqkv_ref, drop, heads, dim_head, seq, g, compute_dtype, want_ca
         k = qkvh[:, :, dim_head : 2 * dim_head].reshape(nb, fs, dim_head)
         v = qkvh[:, :, 2 * dim_head :].reshape(nb, fs, dim_head)
     s = _bmm(q, k, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
-    if fold > 1:
-        s = jnp.where(_block_diag_mask(fold, seq), s, jnp.float32(-1e30))
+    mask = _attn_mask(fold, seq, seq if seq_real is None else seq_real)
+    if mask is not None:
+        s = jnp.where(mask, s, jnp.float32(-1e30))
     # numerically safe softmax (row-max subtraction): a clamp-based max-free
     # variant measured ~neutral here and risks distorted attention + wrong
     # clamped-entry gradients on logit spikes — not worth it
@@ -411,7 +448,7 @@ def _layer_fwd_kernel(
     o_ref,
     *scratch,
     heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
-    interpret=False,
+    interpret=False, seq_real=None,
 ):
     g, s, d = x_ref.shape
     drop = _DropoutCtx(seed_ref, dropout_rate, train, interpret)
@@ -420,7 +457,7 @@ def _layer_fwd_kernel(
     h = _ln(x, ln1s_ref[:], ln1b_ref[:])
     qkv_s, _, o_s, _ = _parse_scratch(scratch, proj_fl=_proj_full_lane(seq, bwd=False))
     o_heads, _ = _attn_fwd(h, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype,
-                           qkv_scratch=qkv_s)
+                           qkv_scratch=qkv_s, seq_real=seq_real)
     proj = _proj_fwd(o_heads, wout3_ref, bout_ref, o_s, heads, dim_head, compute_dtype)
     if proj_dropout:
         proj = drop.apply(proj, _SITE_PROJ)
@@ -446,7 +483,7 @@ def _layer_bwd_kernel(
     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *scratch,
     heads, dim_head, seq, compute_dtype, dropout_rate, train, proj_dropout=True,
-    interpret=False,
+    interpret=False, seq_real=None,
 ):
     g, s, d = x_ref.shape
     gs = g * s
@@ -460,7 +497,7 @@ def _layer_bwd_kernel(
     h1, z1, rsig1 = _ln_fwd_stats(x0, ln1s_ref[:], ln1b_ref[:])
     o_heads, cache = _attn_fwd(
         h1, wqkv3_ref, drop, heads, dim_head, s, g, compute_dtype, want_cache=True,
-        qkv_scratch=qkv_s,
+        qkv_scratch=qkv_s, seq_real=seq_real,
     )
     q, k, v, a, a_d, a_mask = cache
     p1 = _proj_fwd(o_heads, wout3_ref, bout_ref, o_s, heads, dim_head, compute_dtype)
@@ -503,8 +540,9 @@ def _layer_bwd_kernel(
         dwout3 = _bmm(o_heads, dp1b, compute_dtype, trans_a=True)  # [H, dh, D]
         dOh = _bmm(dp1b, wout3_ref[:], compute_dtype, trans_b=True)  # [H, GS, dh]
 
-    # folded layout matches _attn_fwd; off-diagonal blocks of `a` are exactly
-    # 0 (softmax of -1e30), which zeroes `ds` there — no explicit mask needed
+    # folded layout matches _attn_fwd; off-diagonal blocks of `a` (and its
+    # ODD_SEQ_PAD pad-key columns) are exactly 0 (softmax of -1e30), which
+    # zeroes `ds` there — no explicit mask needed
     fold = _choose_fold(s, g)
     dO = dOh.reshape(heads * g // fold, fold * s, dim_head)
     da_d = _bmm(dO, v, compute_dtype, trans_b=True)  # [HG/f, fS, fS]
@@ -728,15 +766,23 @@ def _odd_packed_slab(s: int, dtype) -> bool:
     the merge crosses a packed pair (probed on v5e: bf16 s=5 fails
     "unsupported shape cast", s=4/6/10 and every fp32 shape lower fine —
     the Houston2018 spectral geometry, 50 bands → 5 blocks, hits this).
-    Such slabs route through fp32 kernel I/O instead: the kernel computes
-    the residual stream in fp32 regardless, so results are bit-identical
-    and the only cost is 2x DMA on an already tiny slab."""
+    Such slabs take one of two special routes per the ODD_SEQ_PAD switch
+    (see its A/B table): masked zero-padding to an even seq (default), or
+    fp32 kernel I/O (the kernel computes the residual stream in fp32
+    regardless, so that route is bit-identical to an fp32 input)."""
     return s % 2 == 1 and jnp.dtype(dtype).itemsize == 2
 
 
-def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True, headmajor=None):
+def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout=True, headmajor=None, seq_real=None):
     b, s, d = x.shape
-    if _odd_packed_slab(s, x.dtype):
+    if seq_real is None and _odd_packed_slab(s, x.dtype):
+        if ODD_SEQ_PAD:  # bf16 slab kept; pad token masked in attention
+            out = _fwd_impl(
+                jnp.pad(x, ((0, 0), (0, 1), (0, 0))), params, seed, heads,
+                dim_head, compute_dtype, dropout_rate, train, interpret,
+                proj_dropout, headmajor, seq_real=s,
+            )
+            return out[:, :s, :]
         return _fwd_impl(
             x.astype(jnp.float32), params, seed, heads, dim_head,
             compute_dtype, dropout_rate, train, interpret, proj_dropout,
@@ -748,7 +794,7 @@ def _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, tra
         _layer_fwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
-        proj_dropout=proj_dropout, interpret=interpret,
+        proj_dropout=proj_dropout, interpret=interpret, seq_real=seq_real,
     )
     proj_fl = _proj_full_lane(s, bwd=False)
     seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor,
@@ -785,9 +831,17 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
     x, params, seed, headmajor = residuals
     b, s, d = x.shape
     out_dtype = x.dtype
-    if _odd_packed_slab(s, x.dtype):  # see _odd_packed_slab: fp32 slab I/O
-        x = x.astype(jnp.float32)
-        grad_out = grad_out.astype(jnp.float32)
+    seq_real = None
+    if _odd_packed_slab(s, x.dtype):  # see _odd_packed_slab / ODD_SEQ_PAD
+        if ODD_SEQ_PAD:
+            # pad rows carry zero upstream grad, so every weight grad the
+            # kernel accumulates is exact; the pad row of dx is sliced off
+            seq_real, s = s, s + 1
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+            grad_out = jnp.pad(grad_out, ((0, 0), (0, 1), (0, 0)))
+        else:
+            x = x.astype(jnp.float32)
+            grad_out = grad_out.astype(jnp.float32)
     # the same block size as the forward keeps program_id-based dropout
     # seeding consistent between the passes
     g = _choose_block(b, s, compute_dtype)
@@ -795,7 +849,7 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         _layer_bwd_kernel,
         heads=heads, dim_head=dim_head, seq=s,
         compute_dtype=compute_dtype, dropout_rate=dropout_rate, train=train,
-        proj_dropout=proj_dropout, interpret=interpret,
+        proj_dropout=proj_dropout, interpret=interpret, seq_real=seq_real,
     )
     proj_fl = _proj_full_lane(s, bwd=True)
     seed_arr, tensors = _kernel_inputs(params, seed, heads, dim_head, headmajor,
@@ -838,6 +892,8 @@ def _bwd_rule(heads, dim_head, compute_dtype, dropout_rate, train, interpret, pr
         interpret=interpret,
     )(seed_arr, x, grad_out, *tensors)
     dx = outs[0].astype(out_dtype)
+    if seq_real is not None:
+        dx = dx[:, :seq_real, :]
     (dln1s, dln1b, dwqkv3, dwout3, dbout, dln2s, dln2b, dw1, db1, dw2, db2) = outs[1:]
     if FULL_LANE_QKV:
         dwqkv = _from_fulllane_grad(dwqkv3, dim_head)

@@ -116,7 +116,8 @@ def _emit(metric: str, cubes_per_sec_per_chip: float, device_ms: float, steps: i
 # envelope ms/step; the suspect flag is load-dependent — gap-light runs
 # land within 0.9 of the envelope, loaded ones don't).
 DEVICE_MS_LIMITS = {
-    "houston_pretrain_cubes_per_sec_per_chip": ("device_ms_per_step", 11.8),
+    # 10.317 ms under the round-4 ODD_SEQ_PAD route (was 10.878 fp32-I/O)
+    "houston_pretrain_cubes_per_sec_per_chip": ("device_ms_per_step", 11.2),
     "finetune_enmap_bs2_cubes_per_sec_per_chip": ("device_module_ms_per_step", 1.55),
     "finetune_enmap_bs64_cubes_per_sec_per_chip": ("device_ms_per_step", 37.8),
     "finetune_enmap_bs64_bf16_cubes_per_sec_per_chip": ("device_ms_per_step", 33.6),

@@ -70,8 +70,8 @@ def trace_suspect(logdir: str):
 # keyed per --geometry. The EnMAP recipe (200 bands → 20 blocks, seq 64/20)
 # is the flagship; Houston2018 (50 bands → 5 blocks, seq 64/5) is the
 # geometry that CRASHED on real TPU in round 3 (odd-seq bf16 slab packing,
-# fused_layer._odd_packed_slab) — its spectral entries gate the fp32-I/O
-# fallback path specifically, which no EnMAP shape exercises.
+# fused_layer._odd_packed_slab) — its spectral entries gate the ODD_SEQ_PAD
+# masked-pad route specifically, which no EnMAP shape exercises.
 REGRESSION_LIMITS = {
     "enmap": {
         ("spatial", 16, "fwd"): 1.15,
@@ -80,13 +80,14 @@ REGRESSION_LIMITS = {
         ("spectral", 32, "fwdbwd"): 4.11,
     },
     # round-4 device measurements (ms/layer, chain 8): spatial (320, 64)
-    # g16 fwd 0.266 / fwdbwd 0.804; spectral (4096, 5) g32 through
-    # _odd_packed_slab fwd 0.540 / fwdbwd 1.630 — ≥8% headroom applied
+    # g16 fwd 0.266 / fwdbwd 0.804; spectral (4096, 5) g32 through the
+    # ODD_SEQ_PAD route (the production default since round 4) fwd 0.500 /
+    # fwdbwd 1.539 — ≥8% headroom applied
     "houston": {
         ("spatial", 16, "fwd"): 0.29,
         ("spatial", 16, "fwdbwd"): 0.87,
-        ("spectral", 32, "fwd"): 0.59,
-        ("spectral", 32, "fwdbwd"): 1.77,
+        ("spectral", 32, "fwd"): 0.54,
+        ("spectral", 32, "fwdbwd"): 1.67,
     },
 }
 
@@ -119,8 +120,8 @@ def nonproduction_overrides(args) -> list:
         overrides.append("--full-lane/--head-major")
     if args.head_major_proj or args.full_lane_proj:
         overrides.append("--head-major-proj/--full-lane-proj")
-    if getattr(args, "odd_seq_pad", False):
-        overrides.append("--odd-seq-pad")
+    if getattr(args, "odd_seq_pad", False) or getattr(args, "odd_seq_fp32", False):
+        overrides.append("--odd-seq-pad/--odd-seq-fp32")
     if args.chain != 8:
         # thresholds were measured chain-amortized at chain 8; a different
         # chain length changes dispatch/pipelining amortization
@@ -173,8 +174,8 @@ def main() -> None:
     ap.add_argument(
         "--geometry", default="enmap", choices=sorted(GEOMETRY_SHAPES),
         help="recipe geometry the token shapes derive from (enmap: seq "
-        "64/20; houston: seq 64/5, spectral rides the odd-seq fp32-I/O "
-        "slab fallback). --assert-regression uses the matching threshold "
+        "64/20; houston: seq 64/5, spectral rides the odd-seq ODD_SEQ_PAD "
+        "slab route). --assert-regression uses the matching threshold "
         "table.")
     ap.add_argument("--shapes", default="spatial,spectral")
     ap.add_argument("--gs", default="")
@@ -205,9 +206,12 @@ def main() -> None:
     ap.add_argument(
         "--odd-seq-pad", action="store_true",
         help="force the ODD_SEQ_PAD route for odd-seq bf16 slabs (zero-pad "
-        "seq+1 with a masked pad key, bf16 I/O kept) instead of the "
-        "default fp32-I/O fallback — the A/B control for the Houston "
-        "spectral geometry")
+        "seq+1 with a masked pad key, bf16 I/O kept) — the production "
+        "default since round 4")
+    ap.add_argument(
+        "--odd-seq-fp32", action="store_true",
+        help="force the fp32-I/O fallback for odd-seq bf16 slabs — the A/B "
+        "control for the Houston spectral geometry")
     ap.add_argument(
         "--assert-regression", action="store_true",
         help="after the sweep, check the production configurations against "
@@ -241,6 +245,8 @@ def main() -> None:
         fl.FULL_LANE_PROJ = True
     if args.odd_seq_pad:
         fl.ODD_SEQ_PAD = True
+    elif args.odd_seq_fp32:
+        fl.ODD_SEQ_PAD = False
 
     rng = np.random.default_rng(0)
     suspects = {}

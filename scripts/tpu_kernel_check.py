@@ -90,7 +90,8 @@ def main():
     params = make_params(rng)
     # (4096, 5) = the Houston2018 spectral geometry (50 bands -> 5 blocks),
     # run with bf16 activations as production does: regression-pins the
-    # odd-seq fp32 slab-I/O routing (fused_layer._odd_packed_slab) on real
+    # odd-seq slab routing (fused_layer._odd_packed_slab — default the
+    # ODD_SEQ_PAD masked-pad route, plus the fp32-I/O control) on real
     # Mosaic lowering, which CPU interpret cannot check
     for (B, S, dt) in [(1280, 64, jnp.float32), (4096, 20, jnp.float32),
                        (4096, 5, jnp.bfloat16)]:
@@ -99,6 +100,19 @@ def main():
         yf = jax.jit(fused)(x)
         yx = jax.jit(xla_layer)(x, params)
         ferr = float(jnp.max(jnp.abs(yf - yx)))
+        if dt == jnp.bfloat16 and S % 2 == 1:
+            # the A/B control route must stay green on-chip too (kernel_tune
+            # --odd-seq-fp32 relies on it)
+            import maskedsst_tpu.ops.fused_layer as _fl
+
+            try:
+                _fl.ODD_SEQ_PAD = False
+                yc = jax.jit(fused)(x)
+            finally:
+                _fl.ODD_SEQ_PAD = True
+            cerr = float(jnp.max(jnp.abs(yc - yx)))
+            print(f"({B},{S}): odd-seq fp32 control route maxerr {cerr:.2e}")
+            assert cerr < 5e-2
 
         loss_f = lambda c: jnp.sum(jnp.sin(fused(c)))
         loss_x = lambda c: jnp.sum(jnp.sin(xla_layer(c, params)))

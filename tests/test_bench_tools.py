@@ -121,6 +121,10 @@ def test_assert_regression_refuses_nonproduction_sweeps():
         # chain-1 (dispatch-heavy) and a chain-64 run change amortization
         dict(chain=1),
         dict(chain=64),
+        # forced odd-seq slab routes are the Houston A/B controls — the
+        # houston thresholds were measured on the default (pad) route
+        dict(odd_seq_pad=True),
+        dict(odd_seq_fp32=True),
     ):
         assert kt.nonproduction_overrides(_sweep_args(**bad)), bad
 

@@ -421,13 +421,17 @@ def test_fused_layer_guards():
         )
 
 
-def test_odd_seq_bf16_slab_routes_through_fp32():
+def test_odd_seq_bf16_slab_special_routing():
     """Houston2018 spectral geometry (50 bands -> 5 blocks: seq 5, bf16
     activations). Mosaic rejects the (g, 5, d) bf16 slab shape-cast (odd seq
     crosses the packed sublane pair — probed on v5e), so the entry routes
-    such slabs through fp32 kernel I/O (fused_layer._odd_packed_slab).
-    Values must be bit-identical to the fp32-input path and match the XLA
-    oracle; the gradient must come back in the input dtype."""
+    such slabs specially (fused_layer._odd_packed_slab): by default through
+    the ODD_SEQ_PAD masked-pad route (the measured round-4 winner), with
+    fp32 slab I/O as the A/B control. The default route must match the XLA
+    oracle in values and gradients and preserve the input dtype; the fp32
+    control must be bit-identical to running the kernel on the fp32 upcast
+    directly (same kernel program, only the slab I/O dtype differs)."""
+    from maskedsst_tpu.ops import fused_layer as fl
     from maskedsst_tpu.ops.fused_layer import _odd_packed_slab
 
     assert _odd_packed_slab(5, jnp.bfloat16)
@@ -439,16 +443,23 @@ def test_odd_seq_bf16_slab_routes_through_fp32():
     x32 = jax.random.normal(jax.random.PRNGKey(7), (8, 5, D))
     xbf = x32.astype(jnp.bfloat16)
 
-    got = _fused(xbf, p)
+    got = _fused(xbf, p)  # default: ODD_SEQ_PAD route
     assert got.dtype == jnp.bfloat16
     want = _reference_layer(xbf.astype(jnp.float32), p, H, DH, jnp.float32)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want), atol=0.05, rtol=0.05
     )
-    # identical to running the kernel on the fp32 upcast directly
+
+    # the fp32-I/O control is bit-identical to the fp32-upcast input path
+    assert fl.ODD_SEQ_PAD is True  # the measured production default
+    try:
+        fl.ODD_SEQ_PAD = False
+        got_fp32 = _fused(xbf, p)
+    finally:
+        fl.ODD_SEQ_PAD = True
     same = _fused(xbf.astype(jnp.float32), p)
     np.testing.assert_array_equal(
-        np.asarray(got, np.float32),
+        np.asarray(got_fp32, np.float32),
         np.asarray(same.astype(jnp.bfloat16), np.float32),
     )
 
@@ -464,6 +475,54 @@ def test_odd_seq_bf16_slab_routes_through_fp32():
     np.testing.assert_allclose(
         np.asarray(gx, np.float32), np.asarray(gx_r), atol=0.05, rtol=0.1
     )
+
+
+def test_odd_seq_pad_route_matches_fp32_route():
+    """The default ODD_SEQ_PAD route (zero-pad seq 5→6, bf16 slab I/O kept,
+    pad key masked out of the softmax) must be numerically identical to the
+    fp32-I/O control route: both kernels compute the residual stream in
+    fp32 from the same bf16-exact inputs, and the pad token contributes
+    nothing (masked as a key, sliced away as a query, zero upstream grad in
+    the backward — so the weight grads the pad-route kernel accumulates
+    over the padded rows are exact, not approximations). Equality is up to
+    reduction-order rounding only: padding grows the attention matmuls' K
+    dimension (fS 40→48 here), which reorders the sums of the surviving
+    terms even though every pad term is exactly zero."""
+    from maskedsst_tpu.ops import fused_layer as fl
+
+    p = _params(3)
+    xbf = jax.random.normal(jax.random.PRNGKey(11), (8, 5, D)).astype(jnp.bfloat16)
+
+    def loss(x, p):
+        return (_fused(x, p).astype(jnp.float32) ** 2).mean()
+
+    out_pad = _fused(xbf, p)  # default route (ODD_SEQ_PAD=True)
+    gx_pad, gp_pad = jax.grad(loss, argnums=(0, 1))(xbf, p)
+    assert fl.ODD_SEQ_PAD is True  # the measured production default
+    try:
+        fl.ODD_SEQ_PAD = False
+        out_fp32 = _fused(xbf, p)
+        gx_fp32, gp_fp32 = jax.grad(loss, argnums=(0, 1))(xbf, p)
+    finally:
+        fl.ODD_SEQ_PAD = True
+
+    assert out_pad.dtype == jnp.bfloat16 and gx_pad.dtype == jnp.bfloat16
+    assert out_pad.shape == (8, 5, D) and gx_pad.shape == (8, 5, D)
+    # bf16 tensors: equal to 1 ulp (reduction-order rounding can flip the
+    # last bit of a value sitting on a rounding boundary)
+    np.testing.assert_allclose(
+        np.asarray(out_pad, np.float32), np.asarray(out_fp32, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_pad, np.float32), np.asarray(gx_fp32, np.float32),
+        rtol=1e-2, atol=1e-4,
+    )
+    # fp32 param grads: tight
+    for a, b in zip(jax.tree_util.tree_leaves(gp_pad), jax.tree_util.tree_leaves(gp_fp32)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
+        )
 
 
 def test_proj_form_auto_rule():
