@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""One real-TPU train step for every DeepHyperX zoo net (VERDICT r3 #3).
+
+Round 3 proved CPU-green != TPU-green (the Mosaic odd-seq slab crash was
+invisible to CPU interpret). The zoo (models/zoo.py, mirroring
+/root/reference/DeepHyperX/models.py:205-996) is pure XLA — conv_general_
+dilated, BatchNorm, LRN, GRU — so the risk class is lower than Pallas, but
+"implemented" for a TPU-native framework includes actually executing each
+net on the chip. This script runs, per net, at its paper input geometry and
+factory-default batch size:
+
+    init → forward+backward+optimizer update (HyperXTrainer._train_step,
+    the jitted body hyperx/main.py trains with) → a second step → an eval
+    forward
+
+asserting a finite, changing loss. Per-net wall ms/step is recorded for
+the round record (NOTE: single-dispatch steps through the dev tunnel carry
+a fixed ~27 ms host round trip — the column is a TPU-executes-sanely
+record, not a kernel benchmark; device-level numbers live in
+scripts/kernel_tune.py and bench.py).
+
+Usage: python scripts/zoo_tpu_check.py [--names li,hu,...] [--json-out ZOO_TPU_CHECK.json]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CLASSES = 20
+
+# paper band counts (chen's spectral pyramid needs >= 94 bands —
+# tests/test_zoo.py PARITY_CASES uses the same geometries)
+N_BANDS = {"chen": 100}
+DEFAULT_BANDS = 50
+
+ALL_NAMES = [
+    "nn", "hu", "hamida", "lee", "chen", "li", "he", "luo", "sharma",
+    "liu", "boulch", "mou",
+]
+
+
+def check_net(name: str, steps: int = 4) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskedsst_tpu.hyperx.training import HyperXTrainer
+    from maskedsst_tpu.models.zoo import get_model
+
+    n_bands = N_BANDS.get(name, DEFAULT_BANDS)
+    model, opt, crit, hp = get_model(
+        name, n_classes=N_CLASSES, n_bands=n_bands, ignored_labels=[-1]
+    )
+    t0 = time.perf_counter()
+    trainer = HyperXTrainer(model, opt, crit, hp)
+    init_s = time.perf_counter() - t0
+
+    p = hp["patch_size"]
+    bs = hp["batch_size"]
+    rng = np.random.default_rng(0)
+    shape = (bs, n_bands) if p == 1 else (bs, 1, n_bands, p, p)
+    img = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    # dense nets (lee: center_pixel=False, per-pixel logits) train against
+    # full label patches; everything else against the center-pixel label
+    lshape = (bs,) if hp["center_pixel"] or p == 1 else (bs, p, p)
+    label = jnp.asarray(rng.integers(0, N_CLASSES - 1, lshape), jnp.int32)
+
+    params, stats, opt_state = trainer.params, trainer.batch_stats, trainer.opt_state
+    losses, times = [], []
+    for i in range(steps):
+        key = jax.random.PRNGKey(i)
+        t0 = time.perf_counter()
+        params, stats, opt_state, loss = trainer._train_step(
+            params, stats, opt_state, img, label, key
+        )
+        losses.append(float(loss))  # host fetch forces completion
+        times.append(time.perf_counter() - t0)
+
+    logits = trainer._predict(params, stats, img)
+    logits_np = np.asarray(logits)
+
+    assert all(np.isfinite(l) for l in losses), f"{name}: non-finite loss {losses}"
+    assert np.isfinite(logits_np).all(), f"{name}: non-finite eval logits"
+    # the update must DO something: two optimizer steps from a cold init
+    # always move the loss at these recipes' learning rates
+    assert losses[-1] != losses[0], f"{name}: loss frozen across steps {losses}"
+
+    return {
+        "name": name,
+        "ok": True,
+        "loss_first": round(losses[0], 5),
+        "loss_last": round(losses[-1], 5),
+        "wall_ms_per_step": round(1e3 * statistics.median(times[1:]), 1),
+        "compile_plus_step_ms": round(1e3 * times[0], 1),
+        "init_s": round(init_s, 1),
+        "batch": bs,
+        "geometry": list(shape),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--names", default=",".join(ALL_NAMES))
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--json-out", default="ZOO_TPU_CHECK.json")
+    args = ap.parse_args()
+
+    from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    rows, ok = [], True
+    for name in args.names.split(","):
+        try:
+            row = check_net(name, steps=args.steps)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            traceback.print_exc()
+            row = {"name": name, "ok": False, "error": str(exc).splitlines()[0][:200]}
+            ok = False
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    record = {
+        "metric": "zoo_tpu_check",
+        "platform": platform,
+        "ok": ok,
+        "nets_ok": sum(1 for r in rows if r["ok"]),
+        "nets_total": len(rows),
+        "per_net": rows,
+    }
+    if args.json_out and args.json_out != "none":
+        with open(args.json_out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    print(f"zoo_tpu_check: {record['nets_ok']}/{record['nets_total']} ok on {platform}")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
