@@ -117,7 +117,7 @@ def local_response_norm(x: jnp.ndarray, size: int, alpha=1e-4, beta=0.75, k=1.0)
     return x / (k + alpha / size * windows) ** beta
 
 
-# --- the 13 networks --------------------------------------------------------
+# --- the 12 networks --------------------------------------------------------
 
 class Baseline(nn.Module):
     """4-layer MLP (DeepHyperX/models.py:205-240)."""

@@ -1,4 +1,4 @@
-"""DeepHyperX model-zoo tests: factory recipes, forward shapes for all 13
+"""DeepHyperX model-zoo tests: factory recipes, forward shapes for all 12
 nets, and numerical parity of the li baseline vs the torch reference."""
 
 import jax
