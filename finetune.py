@@ -138,6 +138,13 @@ def main() -> None:
     print(f"best val acc: {history['best_val_acc']:.4f}")
     if history["throughput"]:
         print("throughput:", {k: round(v, 2) for k, v in history["throughput"].items()})
+    if history["train"]:
+        # machine-parseable end-of-run marker (the multi-host harness
+        # compares it across ranks and against a single-process control)
+        print(
+            f"FINAL train_loss={history['train'][-1]['loss']:.10f} "
+            f"best_val_acc={history['best_val_acc']:.10f}"
+        )
 
 
 def _load_pretrained(path: str, config, model):

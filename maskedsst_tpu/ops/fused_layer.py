@@ -354,10 +354,17 @@ def _choose_fold(seq: int, g: int) -> int:
     diagonal are free next to the lane-utilization win. Padded VMEM use is
     unchanged (f*S ≤ 128 still occupies one 128-lane tile). Folding is a
     measured win only for short sequences (seq 20: −31% layer time); at
-    seq 64 it is a wash, so sequences ≥ 32 are left unfolded."""
+    seq 64 it is a wash, so sequences ≥ 32 are left unfolded.
+
+    Fold cap: fS ≤ 80, not 128. Both device-measured optima sit there —
+    seq 20: fold 4 (fS 80) beats 2 (3.801 vs 3.887 ms fwdbwd, round 3);
+    seq 6 (Houston ODD_SEQ_PAD): fold 8 (fS 48) beats 16 (fS 96: fwd
+    0.500→0.473, fwdbwd 1.539→1.529, round 4). Past ~80 lanes the
+    off-diagonal waste of the f²-growing masked scores matmul overtakes
+    the residual lane-padding win."""
     fold = 1
     f = 2
-    while seq < 32 and f <= g and g % f == 0 and f * seq <= 128:
+    while seq < 32 and f <= g and g % f == 0 and f * seq <= 80:
         fold, f = f, f * 2
     return fold
 

@@ -336,6 +336,14 @@ class Pretrainer:
         img = np.asarray(img)
         nproc = jax.process_count()
         if nproc > 1:
+            if img.shape[0] % nproc:
+                # slicing would silently drop the tail rows AND desync the
+                # global batch size across topologies — a config error
+                raise ValueError(
+                    f"streamed batch size {img.shape[0]} is not divisible by "
+                    f"process_count {nproc}; use a drop_last loader with a "
+                    "process-divisible batch_size"
+                )
             rows = img.shape[0] // nproc
             pid = jax.process_index()
             img = img[pid * rows : (pid + 1) * rows]

@@ -11,7 +11,10 @@ rank of a 2-process Gloo cluster via the driver's own ``--multihost
 test compares the FINAL train loss across ranks and against a single-process
 control, and asserts only rank 0 touched the filesystem.
 
-Run: python tests/multihost_driver_worker.py <pid> <nproc> <port> <workdir>
+Run: python tests/multihost_driver_worker.py <pid> <nproc> <port> <workdir> [driver]
+(driver: "pretrain" (default) or "finetune" — the finetune leg drives
+finetune.main() through the same cluster: Finetuner store path,
+superstep scan, windowed validation, best-checkpoint saving.)
 """
 
 import os
@@ -23,6 +26,7 @@ DEVICES_PER_PROC = {1: 4, 2: 2, 4: 1}
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     workdir = sys.argv[4]
+    driver = sys.argv[5] if len(sys.argv) > 5 else "pretrain"
     n_local = DEVICES_PER_PROC[nproc]
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -38,11 +42,7 @@ def main() -> None:
     # tiny-model copies of the SHIPPED configs: the driver must run its real
     # config-merge path, so overrides go through files, not monkeypatching
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "configs", "config.yaml")) as f:
-        base = yaml.safe_load(f)
-    with open(os.path.join(repo, "configs", "pretrain_config.yaml")) as f:
-        pre = yaml.safe_load(f)
-    pre.update(
+    tiny = dict(
         n_bands=40,
         transformer_dim=24,
         transformer_depth=2,
@@ -51,43 +51,71 @@ def main() -> None:
         batch_size=8,
         steps_per_call=2,  # exercise the superstep scan across processes
         logging_freq=2,
-        model_save_freq=1,
     )
+    with open(os.path.join(repo, "configs", "config.yaml")) as f:
+        base = yaml.safe_load(f)
     base_path = os.path.join(workdir, f"config_{pid}.yaml")
-    pre_path = os.path.join(workdir, f"pretrain_config_{pid}.yaml")
     with open(base_path, "w") as f:
         yaml.safe_dump(base, f)
-    with open(pre_path, "w") as f:
-        yaml.safe_dump(pre, f)
 
     models_dir = os.path.join(workdir, "models")
-    argv = [
-        "pretrain.py",
-        "--pretrain-config", pre_path,
-        "--config", base_path,
-        "--synthetic", "--synthetic-tiles", "40",
-        "--epochs", "1", "--steps", "6",
-        "--models-dir", models_dir,
-        "--cpu",
-        # fp32: bit-exact loss comparison across cluster topologies (the
-        # bf16 default rounds identically too, but fp32 removes any doubt)
-        "--fp32",
-    ]
-    if nproc > 1:
-        argv += [
-            "--multihost",
-            "--coordinator", f"127.0.0.1:{port}",
-            "--num-processes", str(nproc),
-            "--process-id", str(pid),
-        ]
-
+    mh_argv = [
+        "--multihost",
+        "--coordinator", f"127.0.0.1:{port}",
+        "--num-processes", str(nproc),
+        "--process-id", str(pid),
+    ] if nproc > 1 else []
     sys.path.insert(0, repo)
-    import pretrain
 
+    if driver == "pretrain":
+        with open(os.path.join(repo, "configs", "pretrain_config.yaml")) as f:
+            pre = yaml.safe_load(f)
+        pre.update(tiny, model_save_freq=1)
+        pre_path = os.path.join(workdir, f"pretrain_config_{pid}.yaml")
+        with open(pre_path, "w") as f:
+            yaml.safe_dump(pre, f)
+        argv = [
+            "pretrain.py",
+            "--pretrain-config", pre_path,
+            "--config", base_path,
+            "--synthetic", "--synthetic-tiles", "40",
+            "--epochs", "1", "--steps", "6",
+            "--models-dir", models_dir,
+            "--cpu",
+            # fp32: bit-exact loss comparison across cluster topologies (the
+            # bf16 default rounds identically too, but fp32 removes any doubt)
+            "--fp32",
+        ]
+        import pretrain as mod
+    else:
+        # finetune.main() resolves configs/finetune_config_<dataset>.yaml
+        # relative to the cwd — give it a workdir configs/ with the tiny copy
+        # (per-rank cwds would diverge the compile cache; share one configs/
+        # dir, write rank-0-style once per rank with identical content)
+        with open(os.path.join(repo, "configs", "finetune_config_enmap.yaml")) as f:
+            fin = yaml.safe_load(f)
+        fin.update(tiny)
+        cfg_dir = os.path.join(workdir, f"rank{pid}", "configs")
+        os.makedirs(cfg_dir, exist_ok=True)
+        with open(os.path.join(cfg_dir, "finetune_config_enmap.yaml"), "w") as f:
+            yaml.safe_dump(fin, f)
+        os.chdir(os.path.join(workdir, f"rank{pid}"))
+        argv = [
+            "finetune.py", "enmap",
+            "--config", base_path,
+            "--synthetic", "--synthetic-tiles", "48",
+            "--checkpoint", "none",
+            "--epochs", "2", "--steps", "6",
+            "--models-dir", models_dir,
+            "--cpu", "--fp32",
+        ]
+        import finetune as mod
+
+    argv += mh_argv
     old_argv = sys.argv
     sys.argv = argv
     try:
-        pretrain.main()  # prints "FINAL train_loss=..." on success
+        mod.main()  # prints "FINAL train_loss=..." on success
     finally:
         sys.argv = old_argv
 
