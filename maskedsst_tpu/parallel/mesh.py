@@ -131,3 +131,49 @@ def shard_host_batch(mesh: Mesh, batch):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch,
     )
+
+
+def global_streamed_batch(mesh: Mesh, batch):
+    """Host-streamed batch (pytree, identical on every process) → global
+    array(s) sharded on the ``data`` axis.
+
+    The trainers' streaming paths build each batch identically on every
+    process (same-seed loader contract); each process contributes its own
+    row slice and :func:`shard_host_batch` stitches the global array. On a
+    single process this is a plain data-axis device_put. Raises when the
+    batch does not divide over the processes — slicing would silently drop
+    the tail rows AND desync the global batch size across topologies (a
+    config error: use a process-divisible batch/pad size).
+
+    Single-process, a batch whose rows do not divide the data axis is
+    placed as a plain local array instead (device_put with a data-axis
+    NamedSharding rejects uneven shapes; jit reshards a committed local
+    array freely, and the trainers pad to the data axis in-step)."""
+    nproc = jax.process_count()
+    if nproc > 1:
+        pid = jax.process_index()
+
+        def _slice(x):
+            x = np.asarray(x)
+            if x.shape[0] % nproc:
+                raise ValueError(
+                    f"streamed batch size {x.shape[0]} is not divisible by "
+                    f"process_count {nproc}; use a drop_last loader with a "
+                    "process-divisible batch_size"
+                )
+            rows = x.shape[0] // nproc
+            return x[pid * rows : (pid + 1) * rows]
+
+        return shard_host_batch(mesh, jax.tree.map(_slice, batch))
+
+    import jax.numpy as jnp
+
+    n_data = mesh.shape.get("data", 1)
+    return jax.tree.map(
+        lambda x: (
+            jax.device_put(x, batch_sharding(mesh))
+            if np.shape(x)[0] % n_data == 0
+            else jnp.asarray(x)
+        ),
+        batch,
+    )

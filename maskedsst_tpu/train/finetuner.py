@@ -30,6 +30,7 @@ from maskedsst_tpu.data.pipeline import DataLoader
 from maskedsst_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    global_streamed_batch,
     put_replicated,
     replicate,
 )
@@ -394,6 +395,17 @@ class Finetuner:
         )
         return jax.tree.map(lambda x: x.sum(axis=0), sums)
 
+    def _global_batch(self, img, label):
+        """Host-streamed (img, label) → global arrays sharded on the data
+        axis (parallel.mesh.global_streamed_batch): each process slices its
+        rows of the identically constructed, same-seed batch. Required under
+        multi-process — a locally committed jnp.asarray is not a valid input
+        to the global jitted step."""
+        g = global_streamed_batch(
+            self.mesh, {"img": np.asarray(img), "label": np.asarray(label)}
+        )
+        return g["img"], g["label"]
+
     def _window_batch(self, img: np.ndarray, label: np.ndarray):
         """Host-side sliding windows at stride s over 64x64 tiles
         (utils.py:503-517), then fixed-size chunks for the jitted eval."""
@@ -549,7 +561,7 @@ class Finetuner:
                 # possibly host) memory, so never materialize the epoch
                 for batch in loader:
                     self.state, metrics = self._train_step(
-                        self.state, jnp.asarray(batch["img"]), jnp.asarray(batch["label"])
+                        self.state, *self._global_batch(batch["img"], batch["label"])
                     )
                     push_window(metrics)
                     step += 1
@@ -621,7 +633,7 @@ class Finetuner:
                         sums = out if sums is None else jax.tree.map(np.add, sums, out)
                     else:
                         for ci, cl in self._window_batch(batch["img"], batch["label"]):
-                            out = self._eval_step(self.state, jnp.asarray(ci), jnp.asarray(cl))
+                            out = self._eval_step(self.state, *self._global_batch(ci, cl))
                             out = jax.tree.map(np.asarray, out)
                             sums = out if sums is None else jax.tree.map(np.add, sums, out)
                 if sums is not None and sums["n_valid"] > 0:

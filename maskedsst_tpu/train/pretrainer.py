@@ -31,9 +31,9 @@ from maskedsst_tpu.models import SimMIMSpatialSpectral, ViTSpatialSpectral
 from maskedsst_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    global_streamed_batch,
     put_replicated,
     replicate,
-    shard_host_batch,
 )
 from maskedsst_tpu.train.checkpoint import save_checkpoint
 from maskedsst_tpu.train.optim import (
@@ -329,25 +329,10 @@ class Pretrainer:
 
     def _global_batch(self, img):
         """Host-streamed image batch → global array sharded on the data
-        axis. Each process contributes its process-local row slice of the
-        (identically constructed, same-seed) global batch — the
-        shard_host_batch input contract; on one process this is the plain
-        data-axis device_put."""
-        img = np.asarray(img)
-        nproc = jax.process_count()
-        if nproc > 1:
-            if img.shape[0] % nproc:
-                # slicing would silently drop the tail rows AND desync the
-                # global batch size across topologies — a config error
-                raise ValueError(
-                    f"streamed batch size {img.shape[0]} is not divisible by "
-                    f"process_count {nproc}; use a drop_last loader with a "
-                    "process-divisible batch_size"
-                )
-            rows = img.shape[0] // nproc
-            pid = jax.process_index()
-            img = img[pid * rows : (pid + 1) * rows]
-        return shard_host_batch(self.mesh, img)
+        axis (parallel.mesh.global_streamed_batch over this trainer's
+        mesh): each process contributes its row slice of the identically
+        constructed, same-seed batch."""
+        return global_streamed_batch(self.mesh, np.asarray(img))
 
     def _scheduler_extra(self) -> dict:
         return (

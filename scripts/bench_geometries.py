@@ -156,7 +156,7 @@ def check_device_regressions(records, limits=None):
     return failures, sorted(set(limits) - seen)
 
 
-def bench_houston_pretrain(steps: int) -> None:
+def bench_houston_pretrain(steps: int) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
@@ -211,7 +211,7 @@ def bench_houston_pretrain(steps: int) -> None:
     )
 
 
-def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> None:
+def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> dict:
     import jax.numpy as jnp
     import numpy as np
 

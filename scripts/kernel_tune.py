@@ -34,20 +34,19 @@ def device_op_ms(logdir: str) -> dict:
     return dict(tr.by_name) if tr is not None else {}
 
 
-def trace_suspect(logdir: str):
+def trace_suspect(tr) -> "str | None":
     """None when the trace accounting is trustworthy, else a reason string.
 
-    The regression gate must never judge an inconsistent trace: an
-    over-counted one (op sum > modules envelope: an uncaught containing
-    event kind) overstates per-layer ms and phantom-trips, while a Perfetto
-    export that silently dropped op events (known failure on short traces)
-    understates it and FALSE-PASSES. Unlike bench_geometries' gap-heavy
-    workloads, the sweep's chained-layer traces are ~100% custom-call busy
-    (profile_step measured 97.3%), so a low op-sum/envelope ratio here
-    means dropped events, not legitimate idle."""
-    from maskedsst_tpu.utils.profiling import parse_device_trace
-
-    tr = parse_device_trace(logdir)
+    Takes an already-parsed trace (parse_device_trace result, possibly None)
+    so sweep cells parse each multi-MB trace exactly once. The regression
+    gate must never judge an inconsistent trace: an over-counted one (op sum
+    > modules envelope: an uncaught containing event kind) overstates
+    per-layer ms and phantom-trips, while a Perfetto export that silently
+    dropped op events (known failure on short traces) understates it and
+    FALSE-PASSES. Unlike bench_geometries' gap-heavy workloads, the sweep's
+    chained-layer traces are ~100% custom-call busy (profile_step measured
+    97.3%), so a low op-sum/envelope ratio here means dropped events, not
+    legitimate idle."""
     if tr is None:
         return "no trace parsed"
     if tr.overcounted:
@@ -323,8 +322,11 @@ def main() -> None:
                         if not tinfo["traced"]:
                             print(f"{shape_name} g={g} f={fold} {mode}: trace FAILED, skipping")
                             continue
-                    ops = device_op_ms(logdir)
-                    bad = trace_suspect(logdir)
+                    from maskedsst_tpu.utils.profiling import parse_device_trace
+
+                    tr = parse_device_trace(logdir)
+                    ops = dict(tr.by_name) if tr is not None else {}
+                    bad = trace_suspect(tr)
                     if bad is not None:
                         suspects[(shape_name, g, mode)] = bad
                         print(f"{shape_name} g={g} f={fold} {mode}: TRACE SUSPECT — {bad}")

@@ -69,7 +69,9 @@ def check_net(name: str, steps: int = 4) -> dict:
     # dense nets (lee: center_pixel=False, per-pixel logits) train against
     # full label patches; everything else against the center-pixel label
     lshape = (bs,) if hp["center_pixel"] or p == 1 else (bs, p, p)
-    label = jnp.asarray(rng.integers(0, N_CLASSES - 1, lshape), jnp.int32)
+    # integers() upper bound is exclusive: N_CLASSES (not N_CLASSES-1) so the
+    # top class is drawn and its logit column's loss/grad path is exercised
+    label = jnp.asarray(rng.integers(0, N_CLASSES, lshape), jnp.int32)
 
     params, stats, opt_state = trainer.params, trainer.batch_stats, trainer.opt_state
     losses, times = [], []

@@ -12,9 +12,13 @@ test compares the FINAL train loss across ranks and against a single-process
 control, and asserts only rank 0 touched the filesystem.
 
 Run: python tests/multihost_driver_worker.py <pid> <nproc> <port> <workdir> [driver]
-(driver: "pretrain" (default) or "finetune" — the finetune leg drives
-finetune.main() through the same cluster: Finetuner store path,
-superstep scan, windowed validation, best-checkpoint saving.)
+(driver: "pretrain" (default), "finetune", or "finetune-streamed" — the
+finetune leg drives finetune.main() through the same cluster: Finetuner
+store path, superstep scan, windowed validation, best-checkpoint saving;
+the streamed leg sets ``device_data: false`` so fit() takes the
+host-streaming fallback instead, covering Finetuner._global_batch — the
+path every stochastic dataset (houston2018 random-patch mode) and every
+store MemoryError fallback rides.)
 """
 
 import os
@@ -95,6 +99,11 @@ def main() -> None:
         with open(os.path.join(repo, "configs", "finetune_config_enmap.yaml")) as f:
             fin = yaml.safe_load(f)
         fin.update(tiny)
+        if driver == "finetune-streamed":
+            # force the host-streaming fallback (no DeviceTileStore): every
+            # batch goes through Finetuner._global_batch / the streamed
+            # windowed eval; a small eval_chunk keeps the padded windows tiny
+            fin.update(device_data=False, eval_chunk=8)
         cfg_dir = os.path.join(workdir, f"rank{pid}", "configs")
         os.makedirs(cfg_dir, exist_ok=True)
         with open(os.path.join(cfg_dir, "finetune_config_enmap.yaml"), "w") as f:

@@ -238,20 +238,27 @@ def test_geometry_device_gate_rejects_untrustworthy_traces():
 def test_kernel_tune_trace_suspect(tmp_path):
     """trace_suspect flags over-counted traces AND low op-sum/envelope
     ratios (the sweep's chained-layer traces are ~100% busy, so a low ratio
-    there means dropped events, not legitimate idle)."""
+    there means dropped events, not legitimate idle). It consumes an
+    already-parsed trace so sweep cells parse each trace exactly once."""
+    from maskedsst_tpu.utils.profiling import parse_device_trace
+
     kt = _load("kernel_tune")
+
+    def suspect(logdir):
+        return kt.trace_suspect(parse_device_trace(logdir))
+
     good = [
         _device_meta(),
         _op(7, "jit_run", 1000.0, cat=None, extra_args={"run_id": 1}),
         _op(7, "layer.1", 980.0, cat="custom-call"),
     ]
-    assert kt.trace_suspect(_write_trace(tmp_path / "good", good)) is None
+    assert suspect(_write_trace(tmp_path / "good", good)) is None
     dropped = [
         _device_meta(),
         _op(7, "jit_run", 1000.0, cat=None, extra_args={"run_id": 1}),
         _op(7, "layer.1", 300.0, cat="custom-call"),
     ]
-    reason = kt.trace_suspect(_write_trace(tmp_path / "drop", dropped))
+    reason = suspect(_write_trace(tmp_path / "drop", dropped))
     assert reason and "0.30" in reason
     doubled = [
         _device_meta(),
@@ -259,9 +266,9 @@ def test_kernel_tune_trace_suspect(tmp_path):
         _op(7, "layer.1", 900.0, cat="custom-call"),
         _op(7, "group", 950.0, cat="grouping"),
     ]
-    reason = kt.trace_suspect(_write_trace(tmp_path / "dbl", doubled))
+    reason = suspect(_write_trace(tmp_path / "dbl", doubled))
     assert reason and "overcounted" in reason
-    assert kt.trace_suspect(str(tmp_path / "nowhere")) is not None
+    assert suspect(str(tmp_path / "nowhere")) is not None
 
 
 # --- shared trace parser ------------------------------------------------------

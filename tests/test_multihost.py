@@ -204,6 +204,28 @@ def test_finetune_driver_fit_under_two_process_cluster(tmp_path):
     np.testing.assert_allclose(multi[0], single[0], rtol=1e-6)
 
 
+def test_finetune_streamed_driver_under_two_process_cluster(tmp_path):
+    """The HOST-STREAMING finetune path (device_data: false — what every
+    stochastic dataset like houston2018 random-patch mode and every store
+    MemoryError fallback rides) on the 2-process Gloo cluster: streamed
+    train batches and windowed-eval chunks must be assembled into GLOBAL
+    arrays (Finetuner._global_batch), not locally committed — and the
+    result must match the single-process control exactly."""
+    port = _free_port()
+    wd_multi, wd_single = tmp_path / "multi", tmp_path / "single"
+    wd_multi.mkdir(), wd_single.mkdir()
+    procs = [
+        _launch_driver(0, 2, port, str(wd_multi), driver="finetune-streamed"),
+        _launch_driver(1, 2, port, str(wd_multi), driver="finetune-streamed"),
+    ]
+    multi = _final_losses(procs)
+    single = _final_losses(
+        [_launch_driver(0, 1, _free_port(), str(wd_single), driver="finetune-streamed")]
+    )
+    assert multi[0] == pytest.approx(multi[1], rel=0, abs=0.0)
+    np.testing.assert_allclose(multi[0], single[0], rtol=1e-6)
+
+
 def test_two_process_cluster_fused_kernels():
     """Production path across processes: the Pallas kernel calls (interpret
     mode on CPU) run under shard_map over a data axis that SPANS two

@@ -123,6 +123,30 @@ def test_shard_host_batch_single_process_equivalence():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_global_streamed_batch_single_process():
+    """Single-process semantics of the trainers' streamed-batch helper:
+    rows divisible by the data axis → committed with data-axis sharding;
+    non-divisible rows → a plain local array (device_put with a data-axis
+    NamedSharding rejects uneven shapes; the trainers pad in-step), values
+    unchanged either way and pytrees mapped leaf-wise."""
+    import numpy as np
+
+    from maskedsst_tpu.parallel.mesh import (
+        batch_sharding,
+        get_mesh,
+        global_streamed_batch,
+    )
+
+    mesh = get_mesh()
+    even = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    odd = np.arange(5 * 3, dtype=np.float32).reshape(5, 3)
+    out = global_streamed_batch(mesh, {"img": even, "label": odd})
+    assert out["img"].sharding == batch_sharding(mesh)
+    assert len(out["label"].sharding.device_set) == 1  # local, jit reshards
+    np.testing.assert_array_equal(np.asarray(out["img"]), even)
+    np.testing.assert_array_equal(np.asarray(out["label"]), odd)
+
+
 def test_fused_transformer_under_data_sharding():
     """The Pallas fused layer (interpret mode on CPU) inside a jitted step
     with the batch sharded P('data') over the 8-device mesh must equal the
