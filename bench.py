@@ -120,12 +120,8 @@ def main() -> None:
     batcher = IndexBatcher(len(store), batch, shuffle=True, drop_last=True, seed=0)
 
     def chunks():
-        buf = []
-        while True:
-            buf.extend(list(batcher))  # IndexBatcher reshuffles per epoch
-            while len(buf) >= k:
-                chunk, buf = buf[:k], buf[k:]
-                yield jnp.asarray(np.stack(chunk))
+        while True:  # take() advances the per-epoch shuffle internally
+            yield jnp.asarray(batcher.take(k))
 
     gen = chunks()
     state = trainer.state

@@ -72,6 +72,22 @@ def main() -> None:
         lambda p, x: jnp.argmax(model.apply({"params": p}, x, deterministic=True), axis=1)
     )
 
+    # window-style supervised datasets (houston2018 with pixelwise: True)
+    # yield samples that ARE windows — img [C, s, s] with a SCALAR
+    # center-pixel label — so there is nothing to slide over; batch the
+    # windows straight through the classifier instead
+    if np.asarray(dataset[0]["label"]).ndim == 0:
+        n = min(max(args.tiles, 1) * 64, len(dataset))
+        imgs = np.stack([np.asarray(dataset[i]["img"]) for i in range(n)])
+        labels = np.asarray([dataset[i]["label"] for i in range(n)])
+        preds = np.asarray(predict(params, jnp.asarray(imgs)))
+        if preds.ndim > 1:  # per-pixel head: score the center pixel
+            preds = preds[:, preds.shape[1] // 2, preds.shape[2] // 2]
+        valid = labels != config.ignored_label
+        acc = float((preds[valid] == labels[valid]).mean()) if valid.any() else float("nan")
+        print(f"accuracy over {n} center-labeled windows: {acc:.4f}")
+        return
+
     accs = []
     rendered = 0
     for idx in range(min(args.tiles, len(dataset))):

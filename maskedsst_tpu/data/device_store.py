@@ -129,3 +129,14 @@ class IndexBatcher:
                     pad = self.batch_size - len(idx)
                     idx = np.concatenate([idx, -np.ones(pad, idx.dtype)])
             yield idx.astype(np.int32)
+
+    def take(self, steps: int) -> np.ndarray:
+        """Stack the next ``steps`` index batches into one
+        ``[steps, batch_size]`` int32 array, advancing the per-epoch shuffle
+        as needed (partial epochs past ``steps`` are discarded). This is the
+        superstep-chunk staging idiom shared by bench.py and the profiling
+        scripts — kept here so the staging policy has one home."""
+        out: list = []
+        while len(out) < steps:
+            out.extend(self)
+        return np.stack(out[:steps])

@@ -1,3 +1,3 @@
 """DeepHyperX-equivalent benchmark subsystem (reference DeepHyperX/): a
-standalone HSI classification benchmark with 13 baseline models, classic
+standalone HSI classification benchmark with 12 baseline models, classic
 scene datasets, sliding-window full-scene inference and a CLI runner."""

@@ -1,4 +1,4 @@
-"""DeepHyperX model zoo — 13 hyperspectral classification baselines.
+"""DeepHyperX model zoo — 12 hyperspectral classification baselines.
 
 Reference: DeepHyperX/models.py:20-996 (Audebert et al., vendored by the
 reference repo; the ``li`` 3D-CNN is the baseline finetune.py actually uses,

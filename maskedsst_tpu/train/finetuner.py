@@ -27,6 +27,7 @@ import numpy as np
 
 from maskedsst_tpu.config import Config
 from maskedsst_tpu.data.pipeline import DataLoader
+from maskedsst_tpu.ops.fused_layer import largest_divisor
 from maskedsst_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
@@ -383,11 +384,9 @@ class Finetuner:
         if self._eval_windows:
             img, label = window_tiles(img, s, label)
         n = img.shape[0]
-        chunk = n
-        for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-            if n % cand == 0:
-                chunk = cand
-                break
+        # largest divisor ≤ 256 (shared with Pretrainer._step_val): fewest
+        # lax.map iterations for any window count, power of two or not
+        chunk = largest_divisor(n, 256)
         img = img.reshape(n // chunk, chunk, *img.shape[1:])
         label = label.reshape(n // chunk, chunk, *label.shape[1:])
         sums = jax.lax.map(
@@ -538,7 +537,7 @@ class Finetuner:
                     out[k] = float(np.mean(np.asarray(jnp.stack([jnp.asarray(x) for x in v]))))
             return out
 
-        def log_step(m: dict):
+        def log_step(m: dict, rates: Optional[dict] = None):
             # the reference constructs-but-never-raises this ValueError
             # (src/utils.py:648-649) — a latent bug deliberately fixed here
             if "loss" in m and not np.isfinite(m["loss"]):
@@ -548,7 +547,10 @@ class Finetuner:
                     "epoch": epoch,
                     **m,
                     "lr": (get_learning_rates(self.state.opt_state) or [cfg.lr])[0],
-                    **meter.window_stats(),
+                    # window_stats() RESETS the window — when one superstep
+                    # chunk crosses several boundaries the caller reads it
+                    # once and passes the shared chunk-average rates
+                    **(rates if rates is not None else meter.window_stats()),
                 },
                 step=step,
             )
@@ -566,10 +568,13 @@ class Finetuner:
                     push_window(metrics)
                     step += 1
                     meter.tick()
-                    if strict and step >= step_budget:
-                        break
+                    # log BEFORE the budget break (like the pretrainer): when
+                    # step_budget lands on a logging boundary the final
+                    # window mean must still reach the tracker
                     if step % cfg.logging_freq == 0:
                         log_step(window_means())
+                    if strict and step >= step_budget:
+                        break
             else:
                 # HBM-resident samples: index batches are tiny; chunk them
                 # into supersteps (scan of k steps per dispatch)
@@ -589,12 +594,16 @@ class Finetuner:
                             chunk,
                         )
                         metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
+                        meter.tick(k)
+                        # read the rate window once per chunk, and only when a
+                        # boundary will consume it (reading resets the window)
+                        crosses = (step + k) // cfg.logging_freq > step // cfg.logging_freq
+                        rates = meter.window_stats() if crosses else None
                         for j in range(k):
                             push_window(metrics_k, j)
                             step += 1
-                            meter.tick()
                             if step % cfg.logging_freq == 0:
-                                log_step(window_means())
+                                log_step(window_means(), rates)
                         metrics = {kk: v[-1] for kk, v in metrics_k.items()}
                         i += k
                         if strict and step >= step_budget:
@@ -612,10 +621,11 @@ class Finetuner:
                     push_window(metrics)
                     step += 1
                     meter.tick()
-                    if strict and step >= step_budget:
-                        break
+                    # log-then-break, same ordering as the streaming path
                     if step % cfg.logging_freq == 0:
                         log_step(window_means())
+                    if strict and step >= step_budget:
+                        break
             if metrics is not None:
                 history["train"].append({k: float(v) for k, v in metrics.items()})
 

@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from maskedsst_tpu.config import Config
 from maskedsst_tpu.data.pipeline import DataLoader, split_dataset
@@ -230,7 +231,7 @@ class Pretrainer:
         state = state.apply_gradients(grads).replace(rng=rng)
         metrics = {"loss": loss}
         if self.config.get("log_grad_norm", False):
-            metrics["grad_norm"] = optax_global_norm(grads)
+            metrics["grad_norm"] = optax.global_norm(grads)
         return state, metrics
 
     def _gather(self, store_tiles, idx):
@@ -414,6 +415,11 @@ class Pretrainer:
         step = int(self.state.step)
         steps_per_epoch = max(1, len(loader)) if hasattr(loader, "__len__") else None
         start_epoch = step // steps_per_epoch if steps_per_epoch else 0
+        # fast-forward the loader's shuffle epoch so a resumed run continues
+        # the permutation sequence at start_epoch instead of replaying the
+        # epoch-0..k batch orders already trained before the checkpoint
+        if start_epoch and hasattr(loader, "epoch"):
+            loader.epoch = start_epoch
         # per-step losses, kept as device scalars until a logging boundary
         # (converting every step would serialize dispatch on tunneled
         # backends); only the trailing window is ever converted
@@ -440,6 +446,12 @@ class Pretrainer:
             # reference pretrain.py:194-197), so one read serves every
             # boundary entry; meter stats are windowed rates, same deal
             lr = (get_learning_rates(self.state.opt_state) or [cfg.lr])[0]
+            # read the throughput window ONCE per chunk: window_stats()
+            # resets the window, so calling it per boundary would leave
+            # every boundary after the first without rate fields. The
+            # chunk-average rate is the honest per-boundary estimate
+            # (steps within a chunk are uniform).
+            rates = meter.window_stats()
             for b in range((prev_step // freq + 1) * freq, step + 1, freq):
                 # flat's last element is the loss of `step`; slice the
                 # freq-long window ending at boundary step b
@@ -449,7 +461,7 @@ class Pretrainer:
                 if np.isnan(loss):
                     raise ValueError("Loss is NaN")
                 tracker.log(
-                    {"epoch": epoch, "loss": loss, "lr": lr, **meter.window_stats()},
+                    {"epoch": epoch, "loss": loss, "lr": lr, **rates},
                     step=b,
                 )
             loss_window = [flat[-freq:]]
@@ -556,8 +568,3 @@ class Pretrainer:
 
         history["throughput"] = meter.stats()
         return history
-
-
-def optax_global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree.leaves(tree)
-    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))

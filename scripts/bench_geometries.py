@@ -181,10 +181,7 @@ def bench_houston_pretrain(steps: int) -> dict:
     )
     store = DeviceTileStore(dataset, trainer.mesh)
     batcher = IndexBatcher(len(store), config.batch_size, shuffle=True, drop_last=True, seed=0)
-    chunks: list = []
-    while len(chunks) < steps:
-        chunks.extend(list(batcher))
-    idx = jnp.asarray(np.stack(chunks[:steps]))
+    idx = jnp.asarray(batcher.take(steps))
 
     state = trainer.state
     state, losses = trainer._train_superstep(state, store.arrays["img"], idx)
@@ -248,10 +245,7 @@ def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> d
     batcher = IndexBatcher(
         len(store), config.batch_size, shuffle=True, drop_last=True, seed=0
     )
-    chunks: list = []
-    while len(chunks) < steps:
-        chunks.extend(list(batcher))
-    idx = jnp.asarray(np.stack(chunks[:steps]))
+    idx = jnp.asarray(batcher.take(steps))
     imgs, labels = store.arrays["img"], store.arrays["label"]
 
     state = ft.state

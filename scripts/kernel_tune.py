@@ -224,6 +224,11 @@ def main() -> None:
     args = ap.parse_args()
     if args.eval:
         args.dropout = 0.0
+    if args.assert_regression and not args.gs:
+        # gate runs only need the thresholded block sizes; the exploratory
+        # default sweep adds minutes and a known-OOM point (spatial g=64)
+        # whose FAILED line reads like a gate failure
+        args.gs = "16,32"
 
     import jax
     import jax.numpy as jnp
@@ -281,11 +286,18 @@ def main() -> None:
         folds = [int(f) for f in args.folds.split(",") if f] or [None]
         for g in gs:
           for fold in folds:
+            # honor the forced fold EXACTLY or refuse loudly — a silent
+            # coercion to 1 would label a fold-1 measurement 'f=N' (an
+            # earlier cap-based fallback here mislabeled fold-8 sweeps at
+            # seq 20; the production cap lives in _choose_fold itself)
+            if fold is not None and g % fold != 0:
+                print(f"g={g} f={fold}: skipped (fold must divide g)")
+                continue
             orig_choose = fl._choose_block
             orig_fold = fl._choose_fold
             fl._choose_block = lambda *a, **k: g
             if fold is not None:
-                fl._choose_fold = (lambda f: lambda seq, gg: f if (gg % f == 0 and f * seq <= 128) else 1)(fold)
+                fl._choose_fold = (lambda f: lambda seq, gg: f)(fold)
             try:
                 for mode in args.modes.split(","):
                   try:

@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from profile_step import parse_trace  # noqa: E402
 
 
-def run_chain(batch: int, chain: int, logdir: str) -> None:
+def run_chain(batch: int, chain: int, logdir: str) -> bool:
+    import shutil
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -28,6 +30,9 @@ def run_chain(batch: int, chain: int, logdir: str) -> None:
     from serving_bench import build_serving_model, make_serve
 
     enable_persistent_cache()
+    # stale-trace guard (same as profile_step): a failed trace must not let
+    # parse_trace silently report a PREVIOUS run's numbers
+    shutil.rmtree(logdir, ignore_errors=True)
     # the EXACT serving_bench workload (shared construction — this profiler
     # exists to explain that bench's numbers)
     model, config = build_serving_model()
@@ -45,6 +50,7 @@ def run_chain(batch: int, chain: int, logdir: str) -> None:
         out = serve(x)
         _ = np.asarray(out)[:1, :1]
     print(f"traced={info['traced']} wall={info['wall_s'] * 1e3:.1f} ms", file=sys.stderr)
+    return bool(info["traced"])
 
 
 def main() -> None:
@@ -55,7 +61,10 @@ def main() -> None:
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
-        run_chain(args.batch, args.chain, args.logdir)
+        if not run_chain(args.batch, args.chain, args.logdir):
+            print("trace failed; not parsing (retry — tunnel may be congested)",
+                  file=sys.stderr)
+            sys.exit(1)
     parse_trace(args.logdir, args.chain)
 
 

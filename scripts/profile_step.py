@@ -39,10 +39,7 @@ def run_superstep(steps: int, logdir: str) -> bool:
     dataset = SyntheticCubeDataset(num_tiles=128, n_bands=config.n_bands, labeled=False)
     store = DeviceTileStore(dataset, trainer.mesh)
     batcher = IndexBatcher(len(store), config.batch_size, shuffle=True, drop_last=True, seed=0)
-    chunks: list = []
-    while len(chunks) < trainer.steps_per_call:  # batcher reshuffles per epoch
-        chunks.extend(list(batcher))
-    idx = jnp.asarray(np.stack(chunks[: trainer.steps_per_call]))
+    idx = jnp.asarray(batcher.take(trainer.steps_per_call))
     assert idx.shape[0] == steps, f"built {idx.shape[0]} step chunks, need {steps}"
 
     state = trainer.state

@@ -105,11 +105,12 @@ def main():
             # --odd-seq-fp32 relies on it)
             import maskedsst_tpu.ops.fused_layer as _fl
 
+            orig_pad = _fl.ODD_SEQ_PAD
             try:
                 _fl.ODD_SEQ_PAD = False
                 yc = jax.jit(fused)(x)
             finally:
-                _fl.ODD_SEQ_PAD = True
+                _fl.ODD_SEQ_PAD = orig_pad
             cerr = float(jnp.max(jnp.abs(yc - yx)))
             print(f"({B},{S}): odd-seq fp32 control route maxerr {cerr:.2e}")
             assert cerr < 5e-2

@@ -109,9 +109,15 @@ def check_net(name: str, steps: int = 4) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", default=",".join(ALL_NAMES))
-    ap.add_argument("--steps", type=int, default=4)
+    # minimum 2: the loss-must-move assert and the warmup-excluded timing
+    # median both need a second step
+    ap.add_argument("--steps", type=int, default=4,
+                    help="train steps per net (min 2)")
     ap.add_argument("--json-out", default="ZOO_TPU_CHECK.json")
     args = ap.parse_args()
+    if args.steps < 2:
+        ap.error("--steps must be >= 2 (loss-movement assert and "
+                 "warmup-excluded timing both need a second step)")
 
     from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
 

@@ -37,3 +37,62 @@ def test_bench_module_importable_without_side_effects():
     mod = importlib.import_module("bench")
     assert mod.BASELINE_CUBES_PER_SEC > 0
     assert "bench" in sys.modules
+
+
+def test_inference_example_window_style_dataset(monkeypatch, capsys):
+    """houston2018 with pixelwise: True yields window samples with SCALAR
+    center-pixel labels; the demo must batch them through the classifier
+    instead of crashing in the sliding-window branch (np.full_like on a 0-d
+    label used to raise on the first tile)."""
+    import numpy as np
+
+    import inference_example
+    from maskedsst_tpu.data import resolve
+
+    class WindowDS:
+        """Minimal window-style supervised dataset (img [C,s,s], 0-d label)."""
+
+        def __init__(self, n=80, bands=50, size=8):
+            self.rng = np.random.default_rng(0)
+            self.samples = [
+                {
+                    "img": self.rng.standard_normal((bands, size, size)).astype(np.float32),
+                    "label": np.int64(self.rng.integers(0, 5)),
+                }
+                for _ in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    monkeypatch.setattr(resolve, "get_dataset", lambda *a, **k: WindowDS())
+    monkeypatch.setattr(
+        sys, "argv",
+        ["inference_example.py", "--dataset", "houston2018", "--cpu", "--tiles", "1",
+         "--config", "configs/config.yaml"],
+    )
+    # tiny model: shrink the transformer via the config the driver loads
+    from maskedsst_tpu.config import get_finetune_config
+
+    orig = get_finetune_config
+
+    def tiny(*a, **k):
+        cfg = orig(*a, **k)
+        cfg.transformer_dim = 24
+        cfg.transformer_depth = 2
+        cfg.transformer_n_heads = 2
+        cfg.transformer_mlp_dim = 16
+        cfg.checkpoint_path = None
+        cfg.pixelwise = True
+        cfg.fused = False  # keep the CPU test off the interpret-mode kernels
+        return cfg
+
+    import maskedsst_tpu.config as cfg_mod
+
+    monkeypatch.setattr(cfg_mod, "get_finetune_config", tiny)
+    inference_example.main()
+    out = capsys.readouterr().out
+    assert "center-labeled windows" in out

@@ -210,3 +210,64 @@ def test_fit_continues_counters_after_resume(tmp_path):
     assert int(tr2.state.step) == 8
     logged_steps = [s for s, m in cap.rows if "loss" in m and "lr" in m]
     assert logged_steps and all(s > 4 for s in logged_steps), logged_steps
+
+
+def test_resume_continues_shuffle_sequence(tmp_path):
+    """A run resumed at an epoch boundary must continue the per-epoch
+    shuffle sequence at start_epoch, not replay the epoch-0 permutation:
+    final params of interrupted+resumed training are bit-identical to the
+    uninterrupted control (fit() fast-forwards loader.epoch after resume)."""
+    from maskedsst_tpu.train.checkpoint import save_checkpoint
+
+    def mk():
+        cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+        cfg.n_bands = 40
+        cfg.transformer_dim = 24
+        cfg.transformer_depth = 2
+        cfg.transformer_n_heads = 2
+        cfg.transformer_mlp_dim = 16
+        cfg.batch_size = 8
+        cfg.steps_per_call = 2
+        cfg.logging_freq = 1000
+        cfg.skip_val = True
+        return cfg
+
+    ds = SyntheticCubeDataset(num_tiles=32, n_bands=40, labeled=False)
+
+    # control: 2 uninterrupted epochs
+    tr = Pretrainer(mk())
+    tr.fit(ds, epochs=2, save_checkpoints=False, models_dir=str(tmp_path))
+    steps_total = int(tr.state.step)
+
+    # interrupted: 1 epoch, checkpoint, resume in a fresh trainer, 1 more
+    tr1 = Pretrainer(mk())
+    tr1.fit(ds, epochs=1, save_checkpoints=False, models_dir=str(tmp_path))
+    steps_1ep = int(tr1.state.step)
+    assert 0 < steps_1ep < steps_total
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, tr1.state, config=tr1.config)
+
+    tr2 = Pretrainer(mk())
+    assert tr2.resume(path) == steps_1ep
+    tr2.fit(ds, epochs=2, save_checkpoints=False, models_dir=str(tmp_path))
+    assert int(tr2.state.step) == steps_total
+
+    # epoch-1 permutation differs from epoch-0's, so replaying epoch 0 after
+    # resume would diverge; continuation must match the control exactly
+    for pa, pb in zip(jax.tree.leaves(tr.state.params), jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_index_batcher_take():
+    """take(steps) == the manual stage-then-slice idiom it replaced (same
+    epoch advancement, partial tails past `steps` discarded)."""
+    a = IndexBatcher(32, 8, shuffle=True, drop_last=True, seed=3)
+    b = IndexBatcher(32, 8, shuffle=True, drop_last=True, seed=3)
+    got = a.take(10)  # 4 batches/epoch -> spans 3 epochs
+    chunks: list = []
+    while len(chunks) < 10:
+        chunks.extend(list(b))
+    np.testing.assert_array_equal(got, np.stack(chunks[:10]))
+    assert got.shape == (10, 8) and got.dtype == np.int32
+    # successive takes keep advancing the shuffle (no replay)
+    assert not np.array_equal(a.take(4), IndexBatcher(32, 8, seed=3).take(4))

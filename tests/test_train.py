@@ -880,3 +880,45 @@ def test_finetuner_step_idx_matches_step():
         jtu.tree_leaves_with_path(s_idx.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
+def test_finetuner_logs_final_boundary_in_strict_mode(tmp_path):
+    """fit(max_steps=N) with N on a logging boundary must still emit the
+    step-N window mean (log-then-break ordering; the budget break used to
+    swallow the final boundary row)."""
+    from maskedsst_tpu.train.finetuner import Finetuner
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    class Capture(Tracker):
+        def __init__(self):
+            super().__init__("test", use_wandb=False, quiet=True)
+            self.rows = []
+
+        def log(self, scalars, step=None):
+            self.rows.append((step, dict(scalars)))
+
+    cfg = _tiny_cfg(get_finetune_config("configs/finetune_config_enmap.yaml", "configs/config.yaml"))
+    cfg.logging_freq = 4
+    model = ViTSpatialSpectral(
+        image_size=cfg.image_size,
+        spatial_patch_size=cfg.patch_size,
+        spectral_patch_size=cfg.band_patch_size,
+        num_classes=cfg.n_classes,
+        dim=cfg.transformer_dim,
+        depth=cfg.transformer_depth,
+        heads=cfg.transformer_n_heads,
+        mlp_dim=cfg.transformer_mlp_dim,
+        channels=cfg.n_bands,
+        spectral_pos=cfg.spectral_pos[:4],
+    )
+    ds = SyntheticCubeDataset(num_tiles=48, n_bands=40, n_classes=cfg.n_classes)
+    val_ds, train_ds = split_dataset(ds, 0.8, seed=5)
+
+    for steps_per_call in (1, 4):  # single-step path and superstep path
+        cfg.steps_per_call = steps_per_call
+        ft = Finetuner(cfg, model)
+        cap = Capture()
+        ft.fit(train_ds, val_ds, tracker=cap, save_checkpoints=False,
+               epochs=10, max_steps=8)
+        boundary_steps = [s for s, m in cap.rows if "loss" in m and "lr" in m]
+        assert 8 in boundary_steps, (steps_per_call, boundary_steps)
