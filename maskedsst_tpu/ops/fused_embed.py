@@ -40,7 +40,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maskedsst_tpu.ops.fused_layer import LN_EPS, _bdot, _compiler_params, largest_divisor
+from maskedsst_tpu.ops.fused_layer import (
+    LN_EPS,
+    _bdot,
+    _compiler_params,
+    _ln_bwd,
+    largest_divisor,
+)
 
 
 def _fwd_body(pat, m, spn, bpn, kern, bias_gnd, postln_s, postln_b,
@@ -113,14 +119,7 @@ def _bwd_kernel(
     dmasked = jnp.sum(dtok4 * mb, axis=0)  # [g, n, d]
 
     dt2 = dkept4.reshape(bb * g * n, d)  # post-LN output grad
-    dpls = jnp.sum(dt2 * z2, axis=0)  # [d]
-    dplb = jnp.sum(dt2, axis=0)  # [d]
-    dz = dt2 * postln_s_ref[:]
-    dt = rsig2 * (
-        dz
-        - jnp.mean(dz, axis=-1, keepdims=True)
-        - z2 * jnp.mean(dz * z2, axis=-1, keepdims=True)
-    )
+    dt, dpls, dplb = _ln_bwd(dt2, z2, rsig2, postln_s_ref[:])
     dbias = jnp.sum(dt.reshape(bb, g, n, d), axis=0)  # [g,n,d]; → [g,d] outside
     dt3 = dt.reshape(bb * g, n, d)
 
@@ -182,6 +181,10 @@ def fused_embed_mask(
     when it is low-precision (matching the XLA path's LayerNorm(dtype=...)
     output), else float32.
     """
+    if patches_pn.shape[0] == 0:
+        # grid 0 would leave the backward's accumulated param grads
+        # uninitialized (see fused_layer.largest_divisor)
+        raise ValueError("fused_embed_mask: empty batch (B == 0)")
     return _fwd_impl(
         patches_pn, mask, preln_scale, preln_bias, kernel, bias,
         postln_scale, postln_bias, pos, mask_token, compute_dtype, interpret,
@@ -264,14 +267,10 @@ def _input_grads_xla(patches_pn, mask, preln_s, preln_b, kernel, bias,
     # select bwd: tokens = kept·(1−m) + masked·m
     dmask = jnp.sum(dtok4 * (masked_gnd[None] - kept), axis=-1)
     dkept = dtok4 * (1.0 - mb)
-    # post-LN bwd
+    # post-LN bwd (param-grad outputs unused here — XLA DCEs them; this
+    # function produces input cotangents only)
     dt2 = dkept.reshape(b * g * n, d)
-    dz = dt2 * postln_s
-    dt = rsig2 * (
-        dz
-        - jnp.mean(dz, axis=-1, keepdims=True)
-        - z2 * jnp.mean(dz * z2, axis=-1, keepdims=True)
-    )
+    dt, _, _ = _ln_bwd(dt2, z2, rsig2, postln_s)
     dt3 = dt.reshape(b * g, n, d)
     # embed matmul bwd to xln, then pre-LN bwd to raw pixels
     dxln = _bdot(kb, dt3, ((2,), (2,)), compute_dtype)  # [bg, p, n]

@@ -159,9 +159,11 @@ class LayerParams(NamedTuple):
     b2: jax.Array  # [D]
 
 
-def _to_headmajor(params: LayerParams, heads: int, dim_head: int):
-    """Canonical ([D, 3I], [I, D]) weights → head-major ([H, D, 3dh],
-    [H, dh, D]) kernel layouts. Pure (differentiable) layout transforms.
+def _to_headmajor_qkv(params: LayerParams, heads: int, dim_head: int):
+    """Canonical [D, 3I] QKV weights → head-major [H, D, 3dh] kernel
+    layout. Pure (differentiable) layout transform; the out-projection's
+    head-major form is a plain reshape done where a kernel asks for it
+    (:func:`_kernel_inputs`, per the FULL_LANE_PROJ="auto" rule).
 
     The attention scale 1/√dh is folded into the Q weights here, so the
     kernel never spends a VPU pass multiplying the [*, S, S] score tensor
@@ -174,15 +176,13 @@ def _to_headmajor(params: LayerParams, heads: int, dim_head: int):
     def heads_first(w):  # [D, I] → [H, D, dh]
         return w.reshape(d, heads, dim_head).transpose(1, 0, 2)
 
-    wqkv3 = jnp.concatenate(
+    return jnp.concatenate(
         [heads_first(wq), heads_first(wk), heads_first(wv)], axis=-1
     )  # [H, D, 3dh]
-    wout3 = params.wout.reshape(heads, dim_head, -1)  # [H, dh, D]
-    return wqkv3, wout3
 
 
 def _from_headmajor_qkv_grad(dwqkv3, heads: int, dim_head: int):
-    """Inverse of :func:`_to_headmajor` for the QKV-weight gradient
+    """Inverse of :func:`_to_headmajor_qkv` for the QKV-weight gradient
     (including the folded attention scale on the Q block). The output
     projection's gradient is layout-independent of this transform — its
     untransform is a plain reshape at the call site."""
@@ -369,13 +369,6 @@ def _choose_fold(seq: int, g: int) -> int:
     return fold
 
 
-def _block_diag_mask(fold: int, seq: int):
-    fs = fold * seq
-    row = jax.lax.broadcasted_iota(jnp.int32, (fs, fs), 0) // seq
-    col = jax.lax.broadcasted_iota(jnp.int32, (fs, fs), 1) // seq
-    return (row == col)[None]  # [1, fS, fS], broadcast over batch
-
-
 def _attn_mask(fold: int, seq: int, seq_real: int):
     """Validity mask for the folded scores matrix, or None when every
     position is valid. Combines the block-diagonal fold mask with the
@@ -410,7 +403,7 @@ def _attn_fwd(h, wqkv_ref, drop, heads, dim_head, seq, g, compute_dtype, want_ca
     fold = _choose_fold(seq, g)
     nb, fs = heads * g // fold, fold * seq
     # q arrives pre-scaled by 1/sqrt(dh) (folded into the weights,
-    # _to_headmajor/_to_fulllane) — scores need no scaling pass
+    # _to_headmajor_qkv/_to_fulllane) — scores need no scaling pass
     if qkv_scratch is not None:
         q_s, k_s, v_s = qkv_scratch
         qkv = _mm(h, wqkv_ref[:], compute_dtype)  # [GS, 3I] fp32
@@ -633,7 +626,11 @@ def largest_divisor(batch: int, cap: int) -> int:
     kernel supplies its own device-time-tuned cap (this module's
     ``_choose_block``, fused_embed.py, fused_simmim.py)."""
     if batch <= 0:
-        return 1  # empty batch: grid 0, kernel never runs
+        # grid 0: the kernel never runs. Safe only for batch-shaped (empty)
+        # outputs — write-once/accumulated outputs (scalar losses, param
+        # grads) would come back UNINITIALIZED, so the public entry points
+        # reject B == 0 up front.
+        return 1
     g = min(cap, batch)
     while batch % g:
         g -= 1
@@ -685,6 +682,11 @@ def fused_transformer_layer(
         # rate 1.0 would overflow the uint32 keep-threshold and scale the
         # kept values by inf — reject up front with a clear error
         raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
+    if x.shape[0] == 0:
+        # a zero-row batch gives grid 0: the kernel never runs and the
+        # backward's accumulated param-grad outputs would be UNINITIALIZED
+        # memory, not zeros — reject rather than return garbage gradients
+        raise ValueError("fused_transformer_layer: empty batch (B == 0)")
     return _fwd_impl(x, params, seed, heads, dim_head, compute_dtype, dropout_rate, train, interpret, proj_dropout)
 
 
@@ -697,7 +699,7 @@ def _prep_weights(params, heads, dim_head):
     if FULL_LANE_QKV:
         wqkv = _to_fulllane(params, dim_head)
     else:
-        wqkv = _to_headmajor(params, heads, dim_head)[0]
+        wqkv = _to_headmajor_qkv(params, heads, dim_head)
     return wqkv, params.wout
 
 

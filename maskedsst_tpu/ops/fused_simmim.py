@@ -129,6 +129,10 @@ def fused_decode_l1(
     [g, d, p]; bias [g, p]; weights [B, g*n] (0/1). The caller applies the
     reference's 1/(B·num_masked·p)/num_masked normalization.
     """
+    if encoded.shape[0] == 0:
+        # grid 0 never runs the kernel: the write-once (1,1) loss and the
+        # accumulated param grads would be uninitialized memory
+        raise ValueError("fused_decode_l1: empty batch (B == 0)")
     return _fwd_impl(
         encoded, patches_pn, kernel, bias, weights, compute_dtype, interpret
     )
