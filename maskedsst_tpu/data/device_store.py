@@ -53,13 +53,19 @@ class DeviceTileStore:
             )
         # ONE pass over the dataset collecting every field: per-field passes
         # would re-read (and re-decode/standardize) each sample len(fields)
-        # times — 3x the rasterio I/O for {idx, img, label} tiles
-        host: Dict[str, np.ndarray] = {k: [] for k in fields}
+        # times — 3x the rasterio I/O for {idx, img, label} tiles.
+        # Preallocated from sample 0's shapes (uniform by the store's
+        # contract): a list-then-np.stack staging would hold TWO copies of
+        # the tile set at peak — a transient 2x host-RAM spike that can OOM
+        # near the max_bytes budget.
+        host: Dict[str, np.ndarray] = {}
+        for k in fields:
+            v0 = np.asarray(first[k])
+            host[k] = np.empty((n, *v0.shape), v0.dtype)
         for i in range(n):
             sample = dataset[i]
             for k in fields:
-                host[k].append(np.asarray(sample[k]))
-        host = {k: np.stack(v) for k, v in host.items()}
+                host[k][i] = np.asarray(sample[k])
         sharding = replicate(mesh)
         if jax.process_count() > 1:
             # multi-process mesh: every process holds the full tile set (the
@@ -136,6 +142,14 @@ class IndexBatcher:
         as needed (partial epochs past ``steps`` are discarded). This is the
         superstep-chunk staging idiom shared by bench.py and the profiling
         scripts — kept here so the staging policy has one home."""
+        if len(self) == 0:
+            # drop_last=True with num_samples < batch_size yields no batches
+            # — raise instead of spinning forever (a silent hang here reads
+            # exactly like tunnel congestion and misdirects the diagnosis)
+            raise ValueError(
+                f"IndexBatcher yields no batches ({self.num_samples} samples "
+                f"< batch_size {self.batch_size} with drop_last)"
+            )
         out: list = []
         while len(out) < steps:
             out.extend(self)

@@ -130,11 +130,20 @@ class EnMAPWorldCoverDataset:
                         img = self._load_img(tif)
                         prev_file = tif
                     half = patch_size // 2
-                    self.patches.append(img[:, x - half : x + half + 1, y - half : y + half + 1])
+                    # .copy(): a view would pin the WHOLE ~3 MB source tile
+                    # in memory per kept patch (sparse sampling over many
+                    # tiles → GBs resident for MBs of patch data)
+                    self.patches.append(
+                        img[:, x - half : x + half + 1, y - half : y + half + 1].copy()
+                    )
                     self.patch_labels.append(cls)
 
         self._cache = {}
-        if load_to_memory:
+        if load_to_memory and not self.pixel_mode:
+            # pixel mode is already fully in memory (self.patches); the
+            # tile-indexed preload below would index enmap_files by PATCH
+            # index — IndexError (more patches than tiles) or a full-tile
+            # cache __getitem__ never consults
             for i in range(len(self)):
                 self._cache[i] = self._load(i)
 

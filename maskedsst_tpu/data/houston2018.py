@@ -101,7 +101,7 @@ class Houston2018Dataset:
                 assert img_area.shape[1:] == label_area.shape
                 ip, lp = _patchify(img_area, label_area, patch_size)
                 valid = (
-                    np.array([lp[i].sum() != 0 for i in range(lp.shape[0])], bool)
+                    lp.sum(axis=(1, 2)) != 0
                     if drop_unlabeled
                     else np.ones(lp.shape[0], bool)
                 )
@@ -121,7 +121,7 @@ class Houston2018Dataset:
             if fix_train_patches:
                 ip, lp = _patchify(self.img, self.label, patch_size)
                 valid = (
-                    np.array([lp[i].sum() != 0 for i in range(lp.shape[0])], bool)
+                    lp.sum(axis=(1, 2)) != 0
                     if drop_unlabeled
                     else np.ones(lp.shape[0], bool)
                 )

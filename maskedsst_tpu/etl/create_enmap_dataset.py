@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import shutil
 
 NODATA = -32768.0
 
@@ -118,7 +119,15 @@ def main() -> None:
         if os.path.exists(outdir):
             print(f"{filename}: already processed, skipping")
             continue
-        n = process_product(product, outdir, args.tile_size, args.upscale)
+        # write into a pid-unique temp dir and rename into place: a crash
+        # mid-product must not leave a partial outdir that the skip above
+        # would treat as complete on the next run (silently dropping tiles)
+        tmpdir = f"{outdir}.tmp{os.getpid()}"
+        if os.path.exists(tmpdir):
+            shutil.rmtree(tmpdir)
+        n = process_product(product, tmpdir, args.tile_size, args.upscale)
+        os.makedirs(os.path.dirname(outdir) or ".", exist_ok=True)
+        os.rename(tmpdir, outdir)
         print(f"{filename}: {n} valid tiles")
 
 
