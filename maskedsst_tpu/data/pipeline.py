@@ -114,6 +114,7 @@ class DataLoader:
         self.pad_to_multiple = max(1, pad_to_multiple)
         self.pad_label_value = pad_label_value
         self.epoch = 0
+        self.skip_next = 0  # batches to drop from the NEXT epoch (resume)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -138,6 +139,12 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         batches = self._batch_indices()
         self.epoch += 1
+        if self.skip_next:
+            # mid-epoch resume: drop already-trained batches at the INDEX
+            # level so their tiles are never read or prefetched (this loader
+            # exists because the dataset exceeds device/host memory)
+            batches = batches[self.skip_next :]
+            self.skip_next = 0
         if self.prefetch <= 0:
             for idx in batches:
                 yield self._make(idx)

@@ -384,8 +384,10 @@ class Finetuner:
         if self._eval_windows:
             img, label = window_tiles(img, s, label)
         n = img.shape[0]
-        # largest divisor ≤ 256 (shared with Pretrainer._step_val): fewest
-        # lax.map iterations for any window count, power of two or not
+        # fewest lax.map iterations for any window count, power of two or
+        # not (same helper as Pretrainer._step_val, which uses its own
+        # cap of 512 — the SimMIM val step carries no CE/confusion-matrix
+        # working set, so it affords a larger chunk)
         chunk = largest_divisor(n, 256)
         img = img.reshape(n // chunk, chunk, *img.shape[1:])
         label = label.reshape(n // chunk, chunk, *label.shape[1:])
@@ -595,10 +597,9 @@ class Finetuner:
                         )
                         metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
                         meter.tick(k)
-                        # read the rate window once per chunk, and only when a
-                        # boundary will consume it (reading resets the window)
-                        crosses = (step + k) // cfg.logging_freq > step // cfg.logging_freq
-                        rates = meter.window_stats() if crosses else None
+                        # chunk-shared rates, read only when a boundary will
+                        # consume them (window-reset policy on Throughput)
+                        rates = meter.rates_for_chunk(step, step + k, cfg.logging_freq)
                         for j in range(k):
                             push_window(metrics_k, j)
                             step += 1

@@ -417,9 +417,20 @@ class Pretrainer:
         start_epoch = step // steps_per_epoch if steps_per_epoch else 0
         # fast-forward the loader's shuffle epoch so a resumed run continues
         # the permutation sequence at start_epoch instead of replaying the
-        # epoch-0..k batch orders already trained before the checkpoint
+        # epoch-0..k batch orders already trained before the checkpoint.
+        # A mid-epoch checkpoint (max_steps truncation) additionally skips
+        # the first `resume_skip` batches of epoch start_epoch — already
+        # trained before the save — and the truncated epoch's end hooks
+        # (marker, val, scheduler) are deferred to its true completion (see
+        # epoch_complete below), so resume is exact in every regime.
         if start_epoch and hasattr(loader, "epoch"):
             loader.epoch = start_epoch
+        resume_skip = step - start_epoch * steps_per_epoch if steps_per_epoch else 0
+        if resume_skip and isinstance(loader, DataLoader):
+            # index-level skip: the streamed loader must not read (or
+            # prefetch) tiles for batches the checkpointed run already
+            # trained; the store path slices its index list instead
+            loader.skip_next = resume_skip
         # per-step losses, kept as device scalars until a logging boundary
         # (converting every step would serialize dispatch on tunneled
         # backends); only the trailing window is ever converted
@@ -432,7 +443,11 @@ class Pretrainer:
         def log_maybe(epoch, prev_step):
             nonlocal loss_window
             freq = cfg.logging_freq
-            if step // freq == prev_step // freq:
+            # chunk-average rates shared by every boundary row this chunk
+            # emits; None = no boundary crossed, nothing to log (the
+            # crossing predicate and window-reset policy live on Throughput)
+            rates = meter.rates_for_chunk(prev_step, step, freq)
+            if rates is None:
                 return
             # reference logs the mean over the last logging_freq steps every
             # logging_freq steps (pretrain.py:122-130). A superstep chunk can
@@ -446,12 +461,6 @@ class Pretrainer:
             # reference pretrain.py:194-197), so one read serves every
             # boundary entry; meter stats are windowed rates, same deal
             lr = (get_learning_rates(self.state.opt_state) or [cfg.lr])[0]
-            # read the throughput window ONCE per chunk: window_stats()
-            # resets the window, so calling it per boundary would leave
-            # every boundary after the first without rate fields. The
-            # chunk-average rate is the honest per-boundary estimate
-            # (steps within a chunk are uniform).
-            rates = meter.window_stats()
             for b in range((prev_step // freq + 1) * freq, step + 1, freq):
                 # flat's last element is the loss of `step`; slice the
                 # freq-long window ending at boundary step b
@@ -472,6 +481,8 @@ class Pretrainer:
                 # scan steps_per_call steps per dispatch (full chunks only;
                 # the remainder runs through the single-step path)
                 idx_batches = list(loader)
+                if epoch == start_epoch and resume_skip:
+                    idx_batches = idx_batches[resume_skip:]
                 k = max(1, self.steps_per_call)
                 pos = 0
                 while pos < len(idx_batches):
@@ -520,7 +531,17 @@ class Pretrainer:
                     log_maybe(epoch, prev_step)
                     if max_steps is not None and step >= max_steps:
                         break
-            if metrics is not None:
+            # epoch-end hooks (marker log, val, scheduler) fire only for
+            # COMPLETED epochs: a max_steps break mid-epoch must not step
+            # the scheduler or consume a val loss — after a mid-epoch-save
+            # resume those hooks would fire AGAIN at the true epoch end and
+            # the LR trajectory would silently diverge from an uninterrupted
+            # run. The checkpoint save stays unconditional: saving at the
+            # break is what makes mid-epoch resume possible at all.
+            epoch_complete = (
+                steps_per_epoch is None or step >= (epoch + 1) * steps_per_epoch
+            )
+            if metrics is not None and epoch_complete:
                 # end-of-epoch marker: the LAST step's raw loss at the same
                 # step as the validation stats (reference pretrain.py:132)
                 last = float(jax.device_get(metrics["loss"]))
@@ -537,7 +558,7 @@ class Pretrainer:
                 if epoch == 10 and model_save_freq == 1:
                     model_save_freq = 10  # pretrain.py:150-151
 
-            if not cfg.get("skip_val", False):
+            if not cfg.get("skip_val", False) and epoch_complete:
                 val_losses = []
                 for vi, batch in enumerate(val_loader):
                     vkey = jax.random.fold_in(jax.random.PRNGKey(7), epoch * 10000 + vi)
@@ -559,7 +580,7 @@ class Pretrainer:
                         self.state = self.state.replace(
                             opt_state=self.scheduler.update(self.state.opt_state, val_loss)
                         )
-            if isinstance(self.scheduler, CosineAnnealingLR):
+            if isinstance(self.scheduler, CosineAnnealingLR) and epoch_complete:
                 self.state = self.state.replace(
                     opt_state=self.scheduler.update(self.state.opt_state)
                 )

@@ -141,6 +141,19 @@ class Throughput:
         self._win_steps = 0
         return out
 
+    def rates_for_chunk(self, prev_step: int, step: int, freq: int):
+        """window_stats() read at most ONCE per superstep chunk — the shared
+        policy for both trainers' logging loops. Returns the windowed rates
+        when (prev_step, step] crosses a ``freq`` logging boundary (the
+        caller attaches them to EVERY boundary row the chunk emits), else
+        None without consuming the window. window_stats() RESETS the
+        window, so per-boundary reads would leave the second and later
+        boundaries of one chunk with no rate fields (and the one row that
+        had them would claim the multi-boundary aggregate)."""
+        if step // freq == prev_step // freq:
+            return None
+        return self.window_stats()
+
 
 def _process_index() -> int:
     """jax.process_index(), or 0 when no backend is reachable.

@@ -257,6 +257,25 @@ def test_resume_continues_shuffle_sequence(tmp_path):
     for pa, pb in zip(jax.tree.leaves(tr.state.params), jax.tree.leaves(tr2.state.params)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
+    # mid-epoch leg: a max_steps-truncated checkpoint must skip the already
+    # trained batches of the partial epoch on resume (not retrain them)
+    spe = steps_total // 2
+    assert spe >= 2
+    mid = spe + 1  # one step into epoch 1
+    tr3 = Pretrainer(mk())
+    tr3.fit(ds, epochs=2, max_steps=mid, save_checkpoints=False,
+            models_dir=str(tmp_path))
+    assert int(tr3.state.step) == mid
+    path2 = str(tmp_path / "ck_mid.msgpack")
+    save_checkpoint(path2, tr3.state, config=tr3.config)
+
+    tr4 = Pretrainer(mk())
+    assert tr4.resume(path2) == mid
+    tr4.fit(ds, epochs=2, save_checkpoints=False, models_dir=str(tmp_path))
+    assert int(tr4.state.step) == steps_total
+    for pa, pb in zip(jax.tree.leaves(tr.state.params), jax.tree.leaves(tr4.state.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
 
 def test_index_batcher_take():
     """take(steps) == the manual stage-then-slice idiom it replaced (same

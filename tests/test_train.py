@@ -922,3 +922,48 @@ def test_finetuner_logs_final_boundary_in_strict_mode(tmp_path):
                epochs=10, max_steps=8)
         boundary_steps = [s for s, m in cap.rows if "loss" in m and "lr" in m]
         assert 8 in boundary_steps, (steps_per_call, boundary_steps)
+
+
+def test_truncated_epoch_defers_end_hooks(tmp_path):
+    """A max_steps break mid-epoch must NOT fire the epoch-end hooks (marker
+    log, scheduler step): after a mid-epoch-save resume they would fire
+    again at the true epoch end and the LR trajectory would diverge from an
+    uninterrupted run."""
+    from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    class Capture(Tracker):
+        def __init__(self):
+            super().__init__("test", use_wandb=False, quiet=True)
+            self.rows = []
+
+        def log(self, scalars, step=None):
+            self.rows.append((step, dict(scalars)))
+
+    def mk():
+        cfg = _tiny_cfg(get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml"))
+        cfg.steps_per_call = 2
+        cfg.skip_val = True
+        cfg.scheduler = "cosine"
+        return cfg
+
+    ds = SyntheticCubeDataset(num_tiles=64, n_bands=40, labeled=False)
+
+    # truncated: 4 steps of a 7-step epoch — no marker, no scheduler step
+    cfg = mk()
+    tr = Pretrainer(cfg)
+    cap = Capture()
+    tr.fit(ds, epochs=10, max_steps=4, tracker=cap, save_checkpoints=False,
+           models_dir=str(tmp_path))
+    marker_rows = [m for _, m in cap.rows if "loss" in m and "lr" not in m]
+    assert not marker_rows, marker_rows
+    assert get_learning_rates(tr.state.opt_state)[0] == pytest.approx(cfg.lr)
+
+    # control: one COMPLETED epoch logs the marker and steps the scheduler
+    tr2 = Pretrainer(mk())
+    cap2 = Capture()
+    tr2.fit(ds, epochs=1, tracker=cap2, save_checkpoints=False,
+            models_dir=str(tmp_path))
+    assert any("loss" in m and "lr" not in m for _, m in cap2.rows)
+    assert get_learning_rates(tr2.state.opt_state)[0] < cfg.lr
