@@ -30,6 +30,14 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--checkpoint", default=None, help="'none' disables loading")
+    parser.add_argument(
+        "--resume", default=None, metavar="CKPT",
+        help="resume an interrupted finetune from a full-state .msgpack "
+        "checkpoint this driver wrote (restores params, optimizer moments, "
+        "step/epoch counters, plateau-scheduler state, best_val_acc; the "
+        "loader fast-forwards to the exact next batch). Mutually exclusive "
+        "with --checkpoint, which imports pretrained ENCODER weights only.",
+    )
     parser.add_argument("--models-dir", default="models")
     parser.add_argument("--cpu", action="store_true")
     # bf16 compute (fp32 params) is the DEFAULT since round 4: +12% train
@@ -108,6 +116,10 @@ def main() -> None:
 
     params = None
     ckpt_path = config.get("checkpoint_path")
+    if args.resume:
+        # a full-state resume restores params itself — loading pretrained
+        # encoder weights on top would silently overwrite the trained state
+        ckpt_path = None
     if ckpt_path:
         params = _load_pretrained(ckpt_path, config, model)
         if params is None:
@@ -124,6 +136,9 @@ def main() -> None:
     trainer = Finetuner(config, model, params=params, mesh=mesh, **trainer_kwargs)
     print(f"Model name: {config.method_name}")
     print(f"Model parameters: {trainer.num_params:,}")
+    if args.resume:
+        step = trainer.resume(args.resume)
+        print(f"resumed from {args.resume} at step {step}")
 
     tracker = Tracker("downstream", config)
     history = trainer.fit(

@@ -132,6 +132,8 @@ class Finetuner:
         self.state = jax.device_put(self.state, replicate(self.mesh))
         self.num_params = sum(p.size for p in jax.tree.leaves(params))
         self.scheduler = ReduceLROnPlateau(factor=0.9, patience=5)
+        # loop state restored by resume() and consumed by fit()
+        self._resume_extra: dict = {}
 
         self._replicated = replicate(self.mesh)
         self._batch_shard = batch_sharding(self.mesh)
@@ -425,6 +427,35 @@ class Finetuner:
                 cl = np.concatenate([cl, fill])
             yield ci, cl
 
+    def resume(self, path: str) -> int:
+        """Restore the FULL finetune state from a checkpoint this trainer
+        wrote: TrainState (params, optimizer moments, step, RNG) from the
+        msgpack payload, plus the loop state the JSON sidecar carries —
+        plateau-scheduler counters, ``best_val_acc``, and the last mean
+        validation loss the end-of-epoch scheduler consumes. The reference
+        cannot do this (its finetune checkpoints hold weights only,
+        src/utils.py:584-604 — an interrupted 100-epoch run restarts from
+        scratch). ``fit()`` afterwards continues at the restored step: it
+        fast-forwards the loader's shuffle epoch and skips the
+        already-trained batches of a partial epoch, and the truncated
+        epoch's end hooks (validation, scheduler) run only in the run that
+        completes it — so control-vs-resumed trajectories are bit-identical
+        (pinned by test_train.py::test_finetuner_exact_resume). Returns the
+        restored step."""
+        from maskedsst_tpu.train.checkpoint import load_metadata, restore_checkpoint
+
+        self.state = restore_checkpoint(path, self.state)
+        self.state = jax.device_put(self.state, self._replicated)
+        try:
+            extra = load_metadata(path).get("extra", {})
+        except FileNotFoundError:
+            extra = {}
+        sched = extra.get("scheduler")
+        if sched and self.scheduler is not None:
+            self.scheduler.load_state_dict(sched)
+        self._resume_extra = dict(extra)
+        return int(self.state.step)
+
     # --- loop ---------------------------------------------------------------
     def fit(
         self,
@@ -510,10 +541,27 @@ class Finetuner:
 
         meter = Throughput(cfg.batch_size, num_chips=self.mesh.devices.size)
         meter.start()
-        history = {"train": [], "val": [], "best_val_acc": 0.0}
-        best_val_acc = 0.0
-        last_val_loss = None  # most recent mean val loss (scheduler input)
-        step, epoch = 0, 0
+        best_val_acc = float(self._resume_extra.get("best_val_acc") or 0.0)
+        # most recent mean val loss (scheduler input); after resume the
+        # stale loss keeps driving the every-epoch plateau step, exactly as
+        # it would have in the uninterrupted run
+        last_val_loss = self._resume_extra.get("last_val_loss")
+        history = {"train": [], "val": [], "best_val_acc": best_val_acc}
+        # continue counters after resume(): the step axis keeps its origin
+        # and the loader fast-forwards so the resumed run consumes exactly
+        # the batches the checkpointed run never saw (mirrors
+        # Pretrainer.fit's resume plumbing)
+        step = int(self.state.step)
+        steps_per_epoch = max(1, len(loader))
+        start_epoch = step // steps_per_epoch
+        resume_skip = step - start_epoch * steps_per_epoch
+        if start_epoch and hasattr(loader, "epoch"):
+            loader.epoch = start_epoch
+        if resume_skip and isinstance(loader, DataLoader):
+            # index-level skip: already-trained batches of the partial epoch
+            # are never read or prefetched
+            loader.skip_next = resume_skip
+        epoch = start_epoch
 
         def done() -> bool:
             if strict:
@@ -559,6 +607,12 @@ class Finetuner:
 
         while not done():
             metrics = None
+            # how many batches a COMPLETE pass over this epoch yields (the
+            # resumed partial epoch starts resume_skip batches in); a strict
+            # step-budget break before that count leaves the epoch truncated
+            # and its end hooks deferred to the run that completes it
+            expected = len(loader) - (resume_skip if epoch == start_epoch else 0)
+            consumed = 0
             if train_store is None:
                 # host-streaming fallback: iterate the loader directly —
                 # this path exists because the dataset exceeds device (and
@@ -569,6 +623,7 @@ class Finetuner:
                     )
                     push_window(metrics)
                     step += 1
+                    consumed += 1
                     meter.tick()
                     # log BEFORE the budget break (like the pretrainer): when
                     # step_budget lands on a logging boundary the final
@@ -581,6 +636,9 @@ class Finetuner:
                 # HBM-resident samples: index batches are tiny; chunk them
                 # into supersteps (scan of k steps per dispatch)
                 batches = list(loader)
+                if epoch == start_epoch and resume_skip:
+                    # the checkpointed run already trained these batches
+                    batches = batches[resume_skip:]
                 i = 0
                 while i < len(batches):
                     k = self.steps_per_call
@@ -627,10 +685,20 @@ class Finetuner:
                         log_step(window_means())
                     if strict and step >= step_budget:
                         break
+                consumed = i
+            epoch_complete = consumed >= expected
             if metrics is not None:
                 history["train"].append({k: float(v) for k, v in metrics.items()})
 
-            if epoch in validation_epochs or epoch == epoch_budget:
+            # epoch-end hooks (validation, scheduler, epoch increment) fire
+            # only for COMPLETED epochs: after a strict step-budget break
+            # mid-epoch they are deferred to the run that completes the
+            # epoch — a mid-epoch-save resume would otherwise run them twice
+            # and silently diverge from an uninterrupted control run (same
+            # policy as Pretrainer.fit's epoch_complete)
+            val_mean = None
+            new_best = False
+            if epoch_complete and (epoch in validation_epochs or epoch == epoch_budget):
                 sums = None
                 for batch in val_loader:
                     if val_store is not None:
@@ -673,36 +741,66 @@ class Finetuner:
                     )
                     history["val"].append(mean)
                     last_val_loss = mean["loss"]
-                    save_now = (
-                        epoch == epoch_budget
-                        or epoch in cfg.get("checkpoint_save_epochs", [])
-                    )
-                    if save_checkpoints and save_now:
-                        save_checkpoint(
-                            os.path.join(run_dir, f"{cfg.method_name}_at_ep{epoch}.msgpack"),
-                            self.state,
-                            cfg,
-                            extra={"epoch": epoch},
-                        )
+                    val_mean = mean
                     if mean["acc"] > best_val_acc:
                         best_val_acc = mean["acc"]
                         history["best_val_acc"] = best_val_acc
-                        if save_checkpoints:
-                            save_checkpoint(
-                                os.path.join(run_dir, f"best_{cfg.method_name}.msgpack"),
-                                self.state,
-                                cfg,
-                                extra={"epoch": epoch, "val_acc": best_val_acc},
-                            )
+                        new_best = True
             # reference semantics: the plateau scheduler steps at the end of
             # EVERY epoch with the (possibly stale) last mean validation loss
             # (finetune.py:221 sits outside the validation-epoch gate), so
             # bad-epoch counting advances between validations too
-            if last_val_loss is not None:
+            if epoch_complete and last_val_loss is not None:
                 self.state = self.state.replace(
                     opt_state=self.scheduler.update(self.state.opt_state, last_val_loss)
                 )
-            epoch += 1
+
+            def loop_extra() -> dict:
+                """Sidecar loop state consumed by resume(): everything fit()
+                cannot rederive from the TrainState alone."""
+                return {
+                    "epoch": epoch,
+                    "step": step,
+                    "best_val_acc": best_val_acc,
+                    "last_val_loss": last_val_loss,
+                    "scheduler": self.scheduler.state_dict(),
+                }
+
+            # checkpoint saves happen AFTER the every-epoch scheduler update,
+            # so a restored checkpoint carries the post-epoch LR and plateau
+            # counters (resume-exactness; params are unaffected by ordering)
+            if val_mean is not None and save_checkpoints:
+                save_now = (
+                    epoch == epoch_budget
+                    or epoch in cfg.get("checkpoint_save_epochs", [])
+                )
+                if save_now:
+                    save_checkpoint(
+                        os.path.join(run_dir, f"{cfg.method_name}_at_ep{epoch}.msgpack"),
+                        self.state,
+                        cfg,
+                        extra=loop_extra(),
+                    )
+                if new_best:
+                    save_checkpoint(
+                        os.path.join(run_dir, f"best_{cfg.method_name}.msgpack"),
+                        self.state,
+                        cfg,
+                        extra={**loop_extra(), "val_acc": best_val_acc},
+                    )
+            if epoch_complete:
+                epoch += 1
+            elif save_checkpoints:
+                # strict step-budget break mid-epoch: save a resumable
+                # full-state checkpoint at the interruption point — this is
+                # what makes mid-epoch resume possible; the deferred epoch
+                # hooks then run in the resumed process at true epoch end
+                save_checkpoint(
+                    os.path.join(run_dir, f"{cfg.method_name}_at_step{step}.msgpack"),
+                    self.state,
+                    cfg,
+                    extra=loop_extra(),
+                )
             if len(loader) == 0:
                 break
 
