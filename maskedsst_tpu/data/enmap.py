@@ -79,7 +79,14 @@ class EnMAPWorldCoverDataset:
         self.load_to_memory = load_to_memory
 
         if target_type in ("worldcover", "unlabeled"):
-            self.enmap_files = sorted(glob.glob(os.path.join(path, "*", "*enmap.tif")))
+            # exclude '<product>.tmp<pid>' staging dirs a crashed ETL run may
+            # have left behind (etl/create_enmap_dataset.py writes products
+            # atomically via rename; partial tiles must never be trained on)
+            self.enmap_files = sorted(
+                f
+                for f in glob.glob(os.path.join(path, "*", "*enmap.tif"))
+                if ".tmp" not in os.path.basename(os.path.dirname(f))
+            )
         else:  # dfc tiles sit flat in the directory
             self.enmap_files = sorted(glob.glob(os.path.join(path, "*enmap.tif")))
         self.target_files = [

@@ -121,10 +121,16 @@ def main() -> None:
             continue
         # write into a pid-unique temp dir and rename into place: a crash
         # mid-product must not leave a partial outdir that the skip above
-        # would treat as complete on the next run (silently dropping tiles)
+        # would treat as complete on the next run (silently dropping tiles).
+        # Stale staging dirs from CRASHED prior runs carry other pids —
+        # sweep them all before staging, or the dataset's '*/ *enmap.tif'
+        # glob would pick up their partial tiles alongside the completed
+        # product (the loader also defends by skipping '*.tmp*' dirs)
+        import glob as _glob
+
+        for stale in _glob.glob(f"{outdir}.tmp*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmpdir = f"{outdir}.tmp{os.getpid()}"
-        if os.path.exists(tmpdir):
-            shutil.rmtree(tmpdir)
         n = process_product(product, tmpdir, args.tile_size, args.upscale)
         os.makedirs(os.path.dirname(outdir) or ".", exist_ok=True)
         os.rename(tmpdir, outdir)

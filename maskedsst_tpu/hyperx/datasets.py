@@ -230,52 +230,66 @@ class HyperX:
         supervision = hyperparams.get("supervision", "full")
         self._rng = np.random.default_rng(hyperparams.get("seed", 0))
 
-        mask = np.ones_like(gt)
+        # sampleable pixels: labeled (unless point/semi supervision keeps
+        # everything) AND far enough from the border that a full patch fits.
+        # The reference builds this with a per-pixel Python loop using
+        # STRICT bounds p < x < H-p (DeepHyperX/datasets.py:354-360), which
+        # also drops the exact first interior row/col — reproduced here as
+        # a vectorized border mask.
+        valid = np.ones(gt.shape, dtype=bool)
         if supervision == "full":
-            for l in self.ignored_labels:
-                mask[gt == l] = 0
-        x_pos, y_pos = np.nonzero(mask)
-        p = self.patch_size // 2
-        self.indices = np.array(
-            [
-                (x, y)
-                for x, y in zip(x_pos, y_pos)
-                if p < x < data.shape[0] - p and p < y < data.shape[1] - p
-            ]
-        )
+            valid &= ~np.isin(gt, list(self.ignored_labels))
+        half = self.patch_size // 2
+        for axis, size in enumerate(gt.shape):
+            border = np.zeros(size, dtype=bool)
+            border[: half + 1] = True  # x > p  (strict: row p itself is out)
+            if half:
+                border[size - half :] = True  # x < size - p
+            valid &= ~border.reshape([-1 if a == axis else 1 for a in range(2)])
+        self.indices = np.argwhere(valid)
         # shuffle FIRST: self.labels must stay aligned with self.indices —
         # _mixture_noise picks same-class pixels via nonzero(labels == value)
         # and indexes self.indices with the result (the reference asserts
-        # this alignment, DeepHyperX/datasets.py:407)
+        # this alignment, DeepHyperX/datasets.py:407; pinned by
+        # test_hyperx_mixture_labels_aligned)
         self._rng.shuffle(self.indices)
-        self.labels = np.array([self.label[x, y] for x, y in self.indices])
+        self.labels = self.label[self.indices[:, 0], self.indices[:, 1]]
 
     def _flip(self, *arrays):
-        horizontal = self._rng.random() > 0.5
-        vertical = self._rng.random() > 0.5
-        if horizontal:
-            arrays = [np.fliplr(a) for a in arrays]
-        if vertical:
-            arrays = [np.flipud(a) for a in arrays]
-        return arrays
+        """Two independent coin flips: left-right (axis 1) and up-down
+        (axis 0), applied to every array identically (reference
+        datasets.py:364-371)."""
+        axes = tuple(ax for ax in (1, 0) if self._rng.random() > 0.5)
+        if not axes:
+            return list(arrays)
+        return [np.flip(a, axis=axes) for a in arrays]
 
     def _radiation_noise(self, data, alpha_range=(0.9, 1.1), beta=1 / 25):
-        alpha = self._rng.uniform(*alpha_range)
-        noise = self._rng.normal(0.0, 1.0, size=data.shape)
-        return alpha * data + beta * noise
+        """Random global gain plus additive Gaussian noise (reference
+        datasets.py:373-377)."""
+        gain = self._rng.uniform(*alpha_range)
+        return gain * data + beta * self._rng.normal(size=data.shape)
 
     def _mixture_noise(self, data, label, beta=1 / 25):
-        alpha1, alpha2 = self._rng.uniform(0.01, 1.0, size=2)
-        noise = self._rng.normal(0.0, 1.0, size=data.shape)
-        data2 = np.zeros_like(data)
-        for idx, value in np.ndenumerate(label):
-            if value not in self.ignored_labels:
-                l_indices = np.nonzero(self.labels == value)[0]
-                l_indice = self._rng.choice(l_indices)
-                assert self.labels[l_indice] == value  # reference datasets.py:407
-                x, y = self.indices[l_indice]
-                data2[idx] = self.data[x, y]
-        return (alpha1 * data + alpha2 * data2) / (alpha1 + alpha2) + beta * noise
+        """Blend every labeled pixel of the patch with the spectrum of a
+        random same-class pixel drawn from the whole dataset, then add
+        Gaussian noise; ignored pixels blend against zero. Same sampling
+        distribution as the reference (datasets.py:379-391), but grouped by
+        class and drawn vectorized instead of re-scanning the full label
+        list inside a per-pixel ``np.ndenumerate`` loop (that loop is also
+        the slowest path in augmentation)."""
+        w1, w2 = self._rng.uniform(0.01, 1.0, size=2)
+        flat = label.ravel()
+        donors = np.zeros((flat.size, data.shape[-1]), dtype=data.dtype)
+        labeled = ~np.isin(flat, list(self.ignored_labels))
+        for value in np.unique(flat[labeled]):
+            pool = np.nonzero(self.labels == value)[0]
+            at = np.nonzero(flat == value)[0]
+            picks = self._rng.choice(pool, size=at.size)
+            xy = self.indices[picks]
+            donors[at] = self.data[xy[:, 0], xy[:, 1]]
+        mixed = (w1 * data + w2 * donors.reshape(data.shape)) / (w1 + w2)
+        return mixed + beta * self._rng.normal(size=data.shape)
 
     def __len__(self) -> int:
         return len(self.indices)
