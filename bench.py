@@ -120,7 +120,13 @@ def main() -> None:
     batcher = IndexBatcher(len(store), batch, shuffle=True, drop_last=True, seed=0)
 
     def chunks():
-        while True:  # take() advances the per-epoch shuffle internally
+        # take() advances the per-epoch shuffle internally; the trailing
+        # partial epoch of each call is DISCARDED (successive chunks sample
+        # freshly shuffled epochs rather than carrying a remainder). That is
+        # intended here: the bench needs a steady stream of full batches,
+        # not exact epoch accounting — training loops use the loader
+        # epoch-wise and never hit this seam.
+        while True:
             yield jnp.asarray(batcher.take(k))
 
     gen = chunks()
@@ -150,16 +156,80 @@ def main() -> None:
     dt = statistics.median(times)
     cubes_per_sec = k * batch / dt
     per_chip = cubes_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "pretrain_cubes_per_sec_per_chip",
-                "value": round(per_chip, 1),
-                "unit": "cubes/s/chip",
-                "vs_baseline": round(per_chip / BASELINE_CUBES_PER_SEC, 3),
-            }
-        )
+
+    # device-step attribution (one traced superstep): lets future rounds
+    # split a throughput delta into kernel time vs tunnel/host overhead
+    # without re-deriving it from scripts/profile_step.py
+    out = {
+        "metric": "pretrain_cubes_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "cubes/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_CUBES_PER_SEC, 3),
+    }
+    device_ms = _device_ms_per_step(trainer, state, store, staged[0], k)
+    if device_ms is not None:
+        tflops = _useful_flops_per_step(config) / (device_ms * 1e-3) / 1e12
+        out["device_ms_per_step"] = round(device_ms, 3)
+        # MFU vs v5e bf16 peak (197 TFLOPS), and vs the MXU-FILL bound at
+        # the reference tile shapes (FLOP-weighted attainable fill 0.408 —
+        # spatial 44.1% x 0.545 FLOP share + spectral 36.8% x 0.455;
+        # BASELINE.md roofline appendix). mxu_fill_frac ≈ 0.4-0.5 is the
+        # known-good operating point; a drop with flat cubes/s means the
+        # kernels regressed while host/tunnel slack absorbed it.
+        out["model_tflops"] = round(tflops, 1)
+        out["mfu"] = round(tflops / 197.0, 4)
+        out["mxu_fill_frac"] = round(tflops / 197.0 / 0.408, 4)
+    print(json.dumps(out))
+
+
+def _useful_flops_per_step(config) -> float:
+    """Analytic USEFUL matmul FLOPs of one train step: transformer-layer
+    matmuls only (blockwise embed/decode are <2% of device time), counting
+    fwd + 2x for backward (dgrad+wgrad) and EXCLUDING the backward's
+    in-kernel activation recompute — the conventional MFU numerator.
+    Derivation mirrors the BASELINE.md roofline appendix inventory."""
+    d = config.transformer_dim                      # 96
+    heads, dh = config.transformer_n_heads, 64      # dim_head default
+    inner = heads * dh                              # 512
+    ff = config.transformer_mlp_dim                 # 64
+    n_blocks = config.n_bands // config.band_patch_size
+    n_spatial = config.image_size ** 2
+    tokens = config.batch_size * n_blocks * n_spatial
+
+    def per_token(seq):
+        # qkv [D->3I] + attention (QK^T and AV, block-diagonal useful part)
+        # + proj [I->D] + ff [D->F->D]
+        return 8 * d * inner + 4 * seq * inner + 4 * d * ff
+
+    fwd = tokens * config.transformer_depth * (
+        per_token(n_spatial) + per_token(n_blocks)
     )
+    return 3.0 * fwd
+
+
+def _device_ms_per_step(trainer, state, store, idx, steps: int) -> "float | None":
+    """Device-busy ms per train step from one traced superstep (shared
+    accounting: utils.profiling.parse_device_trace). None when tracing
+    fails — the throughput metric must never die on a profiler hiccup."""
+    import shutil
+
+    from maskedsst_tpu.utils.profiling import parse_device_trace, trace
+
+    logdir = "/tmp/maskedsst_bench_trace"
+    shutil.rmtree(logdir, ignore_errors=True)
+    try:
+        with trace(logdir, timeout_s=20.0) as info:
+            _, losses = trainer._train_superstep(state, store.arrays["img"], idx)
+            _ = float(losses[-1])
+        if not info["traced"]:
+            return None
+        tr = parse_device_trace(logdir)
+        if tr is None or tr.overcounted:
+            return None
+        return tr.busy_ms / steps
+    except Exception as exc:  # noqa: BLE001 — best-effort attribution
+        print(f"device trace failed: {exc!r}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":

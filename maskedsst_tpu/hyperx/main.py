@@ -125,6 +125,12 @@ def main() -> None:
     parser.add_argument("--synthetic-scene", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument(
+        "--json-out", default=None,
+        help="write the per-run metrics (accuracy, per-class F1, kappa, "
+        "confusion matrix) to this JSON file — machine-readable twin of "
+        "show_results, used for on-chip e2e records",
+    )
+    parser.add_argument(
         "--out-dir", default="outputs",
         help="directory for image outputs (dataset RGB, GT overlays, raw + "
         "color prediction maps — the headless equivalents of the reference's "
@@ -270,6 +276,30 @@ def main() -> None:
 
     if args.runs > 1:
         show_results(results, label_values=label_values, agregated=True)
+
+    if args.json_out:
+        import json
+
+        import jax
+
+        def jsonable(d):
+            return {
+                k: v.tolist() if isinstance(v, np.ndarray) else v
+                for k, v in d.items()
+            }
+
+        record = {
+            "model": args.model,
+            "dataset": "synthetic" if args.synthetic_scene else args.dataset,
+            "platform": jax.devices()[0].platform,
+            "epoch": args.epoch,
+            "training_sample": args.training_sample,
+            "runs": [jsonable(r) for r in results],
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        print(f"wrote metrics record to {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ ALL_NAMES = [
 ]
 
 
-def check_net(name: str, steps: int = 4) -> dict:
+def check_net(name: str, steps: int = 4, device_time: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -93,7 +93,7 @@ def check_net(name: str, steps: int = 4) -> dict:
     # always move the loss at these recipes' learning rates
     assert losses[-1] != losses[0], f"{name}: loss frozen across steps {losses}"
 
-    return {
+    row = {
         "name": name,
         "ok": True,
         "loss_first": round(losses[0], 5),
@@ -104,6 +104,34 @@ def check_net(name: str, steps: int = 4) -> dict:
         "batch": bs,
         "geometry": list(shape),
     }
+    if device_time:
+        # DEVICE ms/step via the shared trace parser (VERDICT r4 #5): the
+        # wall column above is tunnel-RTT-bound (~27 ms floor/dispatch) and
+        # explicitly not a kernel number; this one is. 8 traced steps,
+        # already-compiled program, busy-time accounting
+        # (utils.profiling.parse_device_trace — control-flow envelopes
+        # excluded, rejects overcounted traces).
+        import shutil
+
+        from maskedsst_tpu.utils.profiling import parse_device_trace, trace
+
+        logdir = f"/tmp/zoo_trace_{name}"
+        shutil.rmtree(logdir, ignore_errors=True)
+        k = 8
+        with trace(logdir, timeout_s=20.0) as info:
+            for i in range(k):
+                params, stats, opt_state, loss = trainer._train_step(
+                    params, stats, opt_state, img, label, jax.random.PRNGKey(100 + i)
+                )
+            _ = float(loss)  # one sync at the end: gaps don't inflate busy time
+        tr = parse_device_trace(logdir) if info["traced"] else None
+        if tr is not None and not tr.overcounted and tr.busy_ms > 0:
+            row["device_ms_per_step"] = round(tr.busy_ms / k, 3)
+        else:
+            row["device_ms_per_step"] = None
+            print(f"{name}: device trace failed/overcounted — no device time",
+                  file=sys.stderr)
+    return row
 
 
 def main() -> None:
@@ -114,6 +142,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=4,
                     help="train steps per net (min 2)")
     ap.add_argument("--json-out", default="ZOO_TPU_CHECK.json")
+    ap.add_argument(
+        "--device-time", default="li,hamida,lee",
+        help="comma list of nets (or 'all'/'none') that additionally record "
+        "DEVICE ms/step from an 8-step jax.profiler trace; li is the "
+        "flagship finetune baseline (reference finetune.py:58-65)",
+    )
     args = ap.parse_args()
     if args.steps < 2:
         ap.error("--steps must be >= 2 (loss-movement assert and "
@@ -126,10 +160,13 @@ def main() -> None:
     import jax
 
     platform = jax.devices()[0].platform
+    names = args.names.split(",")
+    dt = args.device_time
+    dt_names = set() if dt == "none" else set(names) if dt == "all" else set(dt.split(","))
     rows, ok = [], True
-    for name in args.names.split(","):
+    for name in names:
         try:
-            row = check_net(name, steps=args.steps)
+            row = check_net(name, steps=args.steps, device_time=name in dt_names)
         except Exception as exc:  # noqa: BLE001 — record and keep going
             traceback.print_exc()
             row = {"name": name, "ok": False, "error": str(exc).splitlines()[0][:200]}

@@ -414,3 +414,27 @@ def test_emit_flags_suspect_trace_in_json(capsys):
     assert [r["trace_suspect"] for r in rows] == [True, False, False]
     assert rows[0]["device_ms_per_step"] == 3.0
     assert rows[2]["device_ms_per_step"] is None
+
+
+# --- bench.py MFU attribution fields ------------------------------------------
+
+def test_bench_useful_flops_matches_roofline_inventory():
+    """bench.py's analytic FLOP count must match the BASELINE.md roofline
+    appendix closed form at the reference geometry: per-token-per-layer
+    548,864 (spatial, S=64) / 458,752 (spectral, S=20) forward matmul
+    FLOPs, 81,920 tokens, depth 4 per stack, x3 for fwd+bwd."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from maskedsst_tpu.config import get_pretrain_config
+
+    cfg = get_pretrain_config(
+        os.path.join(REPO, "configs/pretrain_config.yaml"),
+        os.path.join(REPO, "configs/config.yaml"),
+    )
+    got = bench._useful_flops_per_step(cfg)
+    expected = 3.0 * 81920 * 4 * (548864 + 458752)
+    assert got == expected, (got, expected)
