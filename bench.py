@@ -209,24 +209,17 @@ def _useful_flops_per_step(config) -> float:
 
 def _device_ms_per_step(trainer, state, store, idx, steps: int) -> "float | None":
     """Device-busy ms per train step from one traced superstep (shared
-    accounting: utils.profiling.parse_device_trace). None when tracing
+    accounting + guards: utils.profiling.traced_busy_ms). None when tracing
     fails — the throughput metric must never die on a profiler hiccup."""
-    import shutil
+    from maskedsst_tpu.utils.profiling import traced_busy_ms
 
-    from maskedsst_tpu.utils.profiling import parse_device_trace, trace
+    def one_superstep():
+        _, losses = trainer._train_superstep(state, store.arrays["img"], idx)
+        _ = float(losses[-1])
 
-    logdir = "/tmp/maskedsst_bench_trace"
-    shutil.rmtree(logdir, ignore_errors=True)
     try:
-        with trace(logdir, timeout_s=20.0) as info:
-            _, losses = trainer._train_superstep(state, store.arrays["img"], idx)
-            _ = float(losses[-1])
-        if not info["traced"]:
-            return None
-        tr = parse_device_trace(logdir)
-        if tr is None or tr.overcounted:
-            return None
-        return tr.busy_ms / steps
+        busy = traced_busy_ms("/tmp/maskedsst_bench_trace", one_superstep)
+        return None if busy is None else busy / steps
     except Exception as exc:  # noqa: BLE001 — best-effort attribution
         print(f"device trace failed: {exc!r}", file=sys.stderr)
         return None

@@ -62,6 +62,12 @@ def main() -> None:
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+    if args.resume and args.checkpoint not in (None, "none"):
+        parser.error(
+            "--resume and --checkpoint are mutually exclusive: --resume "
+            "restores the FULL finetune state (params included); loading "
+            "pretrained encoder weights on top would overwrite it"
+        )
 
     import jax
 
@@ -118,7 +124,10 @@ def main() -> None:
     ckpt_path = config.get("checkpoint_path")
     if args.resume:
         # a full-state resume restores params itself — loading pretrained
-        # encoder weights on top would silently overwrite the trained state
+        # encoder weights on top would silently overwrite the trained state.
+        # An explicit --checkpoint alongside --resume is a contradiction the
+        # parser already rejected above; the config's checkpoint_path is
+        # simply superseded.
         ckpt_path = None
     if ckpt_path:
         params = _load_pretrained(ckpt_path, config, model)

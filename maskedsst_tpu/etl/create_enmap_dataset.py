@@ -123,14 +123,24 @@ def main() -> None:
         # mid-product must not leave a partial outdir that the skip above
         # would treat as complete on the next run (silently dropping tiles).
         # Stale staging dirs from CRASHED prior runs carry other pids —
-        # sweep them all before staging, or the dataset's '*/ *enmap.tif'
-        # glob would pick up their partial tiles alongside the completed
-        # product (the loader also defends by skipping '*.tmp*' dirs)
+        # sweep them before staging, or the dataset's '*/ *enmap.tif' glob
+        # would pick up their partial tiles alongside the completed product
+        # (the loader also defends by skipping '*.tmp*' dirs). Only dirs
+        # untouched for >10 min are swept: a CONCURRENT run actively writing
+        # its own staging dir must not be clobbered mid-product.
         import glob as _glob
+        import time as _time
 
         for stale in _glob.glob(f"{outdir}.tmp*"):
-            shutil.rmtree(stale, ignore_errors=True)
+            try:
+                idle = _time.time() - os.path.getmtime(stale)
+            except OSError:
+                continue  # vanished (its owner just renamed it into place)
+            if idle > 600:
+                shutil.rmtree(stale, ignore_errors=True)
         tmpdir = f"{outdir}.tmp{os.getpid()}"
+        if os.path.exists(tmpdir):  # our own pid, re-used: always stale
+            shutil.rmtree(tmpdir)
         n = process_product(product, tmpdir, args.tile_size, args.upscale)
         os.makedirs(os.path.dirname(outdir) or ".", exist_ok=True)
         os.rename(tmpdir, outdir)

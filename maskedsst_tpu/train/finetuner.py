@@ -546,6 +546,9 @@ class Finetuner:
         # stale loss keeps driving the every-epoch plateau step, exactly as
         # it would have in the uninterrupted run
         last_val_loss = self._resume_extra.get("last_val_loss")
+        # one-shot: a later fit() on this trainer must not re-seed loop
+        # state from a sidecar that an earlier fit() already consumed
+        self._resume_extra = {}
         history = {"train": [], "val": [], "best_val_acc": best_val_acc}
         # continue counters after resume(): the step axis keeps its origin
         # and the loader fast-forwards so the resumed run consumes exactly
@@ -769,6 +772,7 @@ class Finetuner:
             # checkpoint saves happen AFTER the every-epoch scheduler update,
             # so a restored checkpoint carries the post-epoch LR and plateau
             # counters (resume-exactness; params are unaffected by ordering)
+            saved_this_epoch = False
             if val_mean is not None and save_checkpoints:
                 save_now = (
                     epoch == epoch_budget
@@ -781,6 +785,7 @@ class Finetuner:
                         cfg,
                         extra=loop_extra(),
                     )
+                    saved_this_epoch = True
                 if new_best:
                     save_checkpoint(
                         os.path.join(run_dir, f"best_{cfg.method_name}.msgpack"),
@@ -788,13 +793,21 @@ class Finetuner:
                         cfg,
                         extra={**loop_extra(), "val_acc": best_val_acc},
                     )
+                    saved_this_epoch = True
             if epoch_complete:
                 epoch += 1
-            elif save_checkpoints:
-                # strict step-budget break mid-epoch: save a resumable
-                # full-state checkpoint at the interruption point — this is
-                # what makes mid-epoch resume possible; the deferred epoch
-                # hooks then run in the resumed process at true epoch end
+            # a strict step-budget break must always leave a resumable
+            # full-state checkpoint at the interruption point — this is what
+            # makes resume possible at all. Two cases: (a) mid-epoch break
+            # (epoch hooks deferred to the resumed process), (b) the budget
+            # landing EXACTLY on an epoch boundary whose epoch saved nothing
+            # (not a validation/save epoch) — without this, max_steps % spe
+            # == 0 would end the run with no checkpoint while max_steps-1
+            # would have saved one.
+            budget_break = strict and step >= step_budget
+            if save_checkpoints and budget_break and (
+                not epoch_complete or not saved_this_epoch
+            ):
                 save_checkpoint(
                     os.path.join(run_dir, f"{cfg.method_name}_at_step{step}.msgpack"),
                     self.state,

@@ -163,6 +163,30 @@ def parse_device_trace(logdir: str) -> Optional[DeviceTrace]:
     return tr
 
 
+def traced_busy_ms(logdir: str, fn, timeout_s: float = 20.0) -> Optional[float]:
+    """Run ``fn`` under ONE jax.profiler trace and return its device-busy
+    milliseconds, or None when tracing fails, the trace is overcounted, or
+    no device ops were captured (e.g. CPU backends whose traces carry no
+    device pids). ``fn`` must force completion itself (host-fetch a result —
+    block_until_ready is advisory on tunneled backends).
+
+    This is the one home of the rmtree / trace / traced-flag / overcounted /
+    busy>0 guard idiom (bench.py device attribution, zoo_tpu_check device
+    column) — the round-3 lesson is that copies of trace-accounting policy
+    diverge and the fix lands in only one."""
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    with trace(logdir, timeout_s=timeout_s) as info:
+        fn()
+    if not info["traced"]:
+        return None
+    tr = parse_device_trace(logdir)
+    if tr is None or tr.overcounted or tr.busy_ms <= 0:
+        return None
+    return tr.busy_ms
+
+
 class StepTimer:
     """Simple step timer that forces completion via a host fetch (reliable on
     backends where block_until_ready is advisory)."""

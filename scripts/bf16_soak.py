@@ -84,6 +84,13 @@ def main() -> None:
                     help="trajectory subsampling stride in the JSON record")
     args = ap.parse_args()
 
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
+    # a superstep never exceeds the total budget (the run_leg tail-break
+    # discards sub-superstep tails; without this clamp --steps < the default
+    # --steps-per-call would run zero steps and die on an empty concatenate)
+    args.steps_per_call = min(args.steps_per_call, args.steps)
+
     from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -105,28 +105,27 @@ def check_net(name: str, steps: int = 4, device_time: bool = False) -> dict:
         "geometry": list(shape),
     }
     if device_time:
-        # DEVICE ms/step via the shared trace parser (VERDICT r4 #5): the
-        # wall column above is tunnel-RTT-bound (~27 ms floor/dispatch) and
-        # explicitly not a kernel number; this one is. 8 traced steps,
-        # already-compiled program, busy-time accounting
-        # (utils.profiling.parse_device_trace — control-flow envelopes
-        # excluded, rejects overcounted traces).
-        import shutil
+        # DEVICE ms/step (VERDICT r4 #5): the wall column above is
+        # tunnel-RTT-bound (~27 ms floor/dispatch) and explicitly not a
+        # kernel number; this one is. 8 traced steps of the already-compiled
+        # program; accounting + guards shared via
+        # utils.profiling.traced_busy_ms (busy time — dispatch gaps between
+        # the single-step programs don't inflate it).
+        from maskedsst_tpu.utils.profiling import traced_busy_ms
 
-        from maskedsst_tpu.utils.profiling import parse_device_trace, trace
-
-        logdir = f"/tmp/zoo_trace_{name}"
-        shutil.rmtree(logdir, ignore_errors=True)
         k = 8
-        with trace(logdir, timeout_s=20.0) as info:
+
+        def steps_fn(params=params, stats=stats, opt_state=opt_state):
+            loss = None
             for i in range(k):
                 params, stats, opt_state, loss = trainer._train_step(
                     params, stats, opt_state, img, label, jax.random.PRNGKey(100 + i)
                 )
-            _ = float(loss)  # one sync at the end: gaps don't inflate busy time
-        tr = parse_device_trace(logdir) if info["traced"] else None
-        if tr is not None and not tr.overcounted and tr.busy_ms > 0:
-            row["device_ms_per_step"] = round(tr.busy_ms / k, 3)
+            _ = float(loss)  # one sync at the end
+
+        busy = traced_busy_ms(f"/tmp/zoo_trace_{name}", steps_fn)
+        if busy is not None:
+            row["device_ms_per_step"] = round(busy / k, 3)
         else:
             row["device_ms_per_step"] = None
             print(f"{name}: device trace failed/overcounted — no device time",

@@ -31,20 +31,31 @@ from maskedsst_tpu.parallel.mesh import batch_sharding, get_mesh
 
 N_DEV = 8
 
-_COLLECTIVE = re.compile(
-    r"=\s*(\w+)\[([\d,]*)\][^\s]*\s+"
-    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)\("
-)
+_OPS = "all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all"
+# single-array result:  foo = f32[16,4,64]{...} all-gather(...)
+_COLLECTIVE = re.compile(rf"=\s*(\w+)\[([\d,]*)\][^\s]*\s+({_OPS})\(")
+# tuple result:  foo = (f32[..]{{..}}, f32[..]{{..}}) all-gather(...)
+# (combined/multi-operand collectives — some XLA versions emit these)
+_COLLECTIVE_TUPLE = re.compile(rf"=\s*\(([^)]*)\)\s+({_OPS})\(")
+_ARRAY = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _elems(shape: str) -> int:
+    return int(np.prod([int(d) for d in shape.split(",")])) if shape else 1
 
 
 def collectives(compiled_text: str):
-    """[(op, dtype, n_elements)] for every collective in an optimized HLO
-    module text."""
+    """[(op, dtype, n_elements)] for every collective result array in an
+    optimized HLO module text — one entry per array of a tuple-typed
+    (combined) collective."""
     out = []
     for m in _COLLECTIVE.finditer(compiled_text):
         dtype, shape, op = m.groups()
-        elems = int(np.prod([int(d) for d in shape.split(",")])) if shape else 1
-        out.append((op, dtype, elems))
+        out.append((op, dtype, _elems(shape)))
+    for m in _COLLECTIVE_TUPLE.finditer(compiled_text):
+        arrays, op = m.groups()
+        for dtype, shape in _ARRAY.findall(arrays):
+            out.append((op, dtype, _elems(shape)))
     return out
 
 
@@ -141,6 +152,23 @@ def _finetune_text(mesh, broken: bool) -> str:
         return tr._train_step.lower(tr.state, tiles, labels).compile().as_text()
     finally:
         pmesh.data_axis_or_warn = orig
+
+
+def test_collective_matcher_handles_tuple_typed_ops():
+    """Combined collectives come back tuple-typed; the detector must count
+    every array of the tuple (a batch-sized all-gather hidden in a tuple
+    must not pass vacuously)."""
+    text = (
+        "  %ar = f32[128,4,24]{2,1,0} all-reduce(f32[128,4,24] %g), ...\n"
+        "  %agt = (f32[16,4,64]{2,1,0}, f32[1024,4,24]{2,1,0}) "
+        "all-gather(f32[2,4,64] %a, f32[128,4,24] %b), ...\n"
+    )
+    got = collectives(text)
+    assert ("all-reduce", "f32", 128 * 4 * 24) in got
+    assert ("all-gather", "f32", 16 * 4 * 64) in got
+    assert ("all-gather", "f32", 1024 * 4 * 24) in got
+    with pytest.raises(AssertionError):
+        assert_contract(text, batch_elems=1024, what="tuple smoke")
 
 
 def test_fused_pretrain_step_collective_contract():

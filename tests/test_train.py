@@ -1086,3 +1086,38 @@ def test_finetuner_exact_resume_mid_epoch(tmp_path):
     assert len(hist_r["val"]) == 1
 
     _assert_states_equal(control.state, resumed.state)
+
+
+def test_finetuner_budget_on_epoch_boundary_saves_resumable(tmp_path):
+    """A strict step budget landing EXACTLY on an epoch boundary whose
+    epoch saved nothing via validation must still leave a resumable
+    *_at_stepN checkpoint (the interrupt save used to fire only mid-epoch),
+    and resuming from it must match the uninterrupted control."""
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = _resume_cfg()
+    cfg.max_steps = 10**9  # sparse validation epochs: only epoch 0 validates
+    model = _resume_model(cfg)
+    ds = SyntheticCubeDataset(num_tiles=48, n_bands=40, n_classes=cfg.n_classes)
+    val_ds, train_ds = split_dataset(ds, 0.8, seed=5)
+    spe = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size
+
+    interrupted = Finetuner(cfg, model)
+    hist = interrupted.fit(
+        train_ds, val_ds, save_checkpoints=True, models_dir=str(tmp_path / "c"),
+        epochs=10, max_steps=2 * spe,
+    )
+    assert len(hist["val"]) == 1  # epoch 0 only — epoch 1 saved nothing
+    import glob
+
+    (path,) = glob.glob(
+        str(tmp_path / "c" / "*" / f"ViTSpatialSpectral_at_step{2 * spe}.msgpack")
+    )
+
+    control = Finetuner(cfg, model)
+    control.fit(train_ds, val_ds, save_checkpoints=False, epochs=10, max_steps=2 * spe + 2)
+
+    resumed = Finetuner(cfg, model)
+    assert resumed.resume(path) == 2 * spe
+    resumed.fit(train_ds, val_ds, save_checkpoints=False, epochs=10, max_steps=2 * spe + 2)
+    _assert_states_equal(control.state, resumed.state)
