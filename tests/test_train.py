@@ -1121,3 +1121,40 @@ def test_finetuner_budget_on_epoch_boundary_saves_resumable(tmp_path):
     assert resumed.resume(path) == 2 * spe
     resumed.fit(train_ds, val_ds, save_checkpoints=False, epochs=10, max_steps=2 * spe + 2)
     _assert_states_equal(control.state, resumed.state)
+
+
+def test_finetuner_exact_resume_streaming_path(tmp_path):
+    """Mid-epoch resume on the HOST-STREAMING path (device_data=False):
+    the DataLoader-based loop must fast-forward via skip_next (index-level
+    skip) and reproduce the uninterrupted control bit-exactly."""
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = _resume_cfg()
+    cfg.device_data = False  # force the streaming fallback loop
+    model = _resume_model(cfg)
+    ds = SyntheticCubeDataset(num_tiles=48, n_bands=40, n_classes=cfg.n_classes)
+    val_ds, train_ds = split_dataset(ds, 0.8, seed=5)
+    spe = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size  # 5
+
+    control = Finetuner(cfg, model)
+    control.fit(
+        train_ds, val_ds, save_checkpoints=False, epochs=4, max_steps=2 * spe + 2
+    )
+
+    interrupted = Finetuner(cfg, model)
+    interrupted.fit(
+        train_ds, val_ds, save_checkpoints=True, models_dir=str(tmp_path / "s"),
+        epochs=4, max_steps=spe + 3,
+    )
+    import glob
+
+    (path,) = glob.glob(
+        str(tmp_path / "s" / "*" / f"ViTSpatialSpectral_at_step{spe + 3}.msgpack")
+    )
+
+    resumed = Finetuner(cfg, model)
+    assert resumed.resume(path) == spe + 3
+    resumed.fit(
+        train_ds, val_ds, save_checkpoints=False, epochs=4, max_steps=2 * spe + 2
+    )
+    _assert_states_equal(control.state, resumed.state)
