@@ -111,26 +111,22 @@ def main() -> None:
         else:
             test_root = os.path.normpath(args.output_dir) + "_test"
 
+    import glob as _glob
+    import time as _time
+
     for product in products:
         filename = os.path.basename(product).split(".TIF")[0]
         outdir = os.path.join(args.output_dir, filename)
         if filename in testfiles:
             outdir = os.path.join(test_root, filename)
-        if os.path.exists(outdir):
-            print(f"{filename}: already processed, skipping")
-            continue
-        # write into a pid-unique temp dir and rename into place: a crash
-        # mid-product must not leave a partial outdir that the skip above
-        # would treat as complete on the next run (silently dropping tiles).
-        # Stale staging dirs from CRASHED prior runs carry other pids —
-        # sweep them before staging, or the dataset's '*/ *enmap.tif' glob
-        # would pick up their partial tiles alongside the completed product
-        # (the loader also defends by skipping '*.tmp*' dirs). Only dirs
+        # Sweep stale staging dirs from CRASHED prior runs (they carry other
+        # pids) BEFORE the already-processed skip, so litter next to a
+        # since-completed product is still reclaimed; without the sweep the
+        # dataset's '*/ *enmap.tif' glob would pick up partial tiles (the
+        # loader also defends by skipping '*.tmp*' dirs). Only dirs
         # untouched for >10 min are swept: a CONCURRENT run actively writing
-        # its own staging dir must not be clobbered mid-product.
-        import glob as _glob
-        import time as _time
-
+        # its own staging dir must not be clobbered mid-product (tile writes
+        # refresh the dir mtime continuously).
         for stale in _glob.glob(f"{outdir}.tmp*"):
             try:
                 idle = _time.time() - os.path.getmtime(stale)
@@ -138,13 +134,30 @@ def main() -> None:
                 continue  # vanished (its owner just renamed it into place)
             if idle > 600:
                 shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(outdir):
+            print(f"{filename}: already processed, skipping")
+            continue
+        # write into a pid-unique temp dir and rename into place: a crash
+        # mid-product must not leave a partial outdir that the skip above
+        # would treat as complete on the next run (silently dropping tiles)
         tmpdir = f"{outdir}.tmp{os.getpid()}"
         if os.path.exists(tmpdir):  # our own pid, re-used: always stale
             shutil.rmtree(tmpdir)
         n = process_product(product, tmpdir, args.tile_size, args.upscale)
         os.makedirs(os.path.dirname(outdir) or ".", exist_ok=True)
-        os.rename(tmpdir, outdir)
-        print(f"{filename}: {n} valid tiles")
+        try:
+            os.rename(tmpdir, outdir)
+        except OSError:
+            if os.path.exists(outdir):
+                # a concurrent run finished this product first — its output
+                # is complete; discard our duplicate staging and move on
+                # instead of aborting the remaining products
+                print(f"{filename}: completed by a concurrent run, skipping")
+                shutil.rmtree(tmpdir, ignore_errors=True)
+            else:
+                raise
+        else:
+            print(f"{filename}: {n} valid tiles")
 
 
 if __name__ == "__main__":

@@ -796,16 +796,19 @@ class Finetuner:
                     saved_this_epoch = True
             if epoch_complete:
                 epoch += 1
-            # a strict step-budget break must always leave a resumable
-            # full-state checkpoint at the interruption point — this is what
-            # makes resume possible at all. Two cases: (a) mid-epoch break
-            # (epoch hooks deferred to the resumed process), (b) the budget
-            # landing EXACTLY on an epoch boundary whose epoch saved nothing
-            # (not a validation/save epoch) — without this, max_steps % spe
-            # == 0 would end the run with no checkpoint while max_steps-1
-            # would have saved one.
-            budget_break = strict and step >= step_budget
-            if save_checkpoints and budget_break and (
+            # a strict budget ending must always leave a resumable
+            # full-state checkpoint at the stopping point — this is what
+            # makes resume possible at all. Three cases: (a) mid-epoch
+            # step-budget break (epoch hooks deferred to the resumed
+            # process), (b) the step budget landing EXACTLY on an epoch
+            # boundary whose epoch saved nothing (not a validation/save
+            # epoch) — without this, max_steps % spe == 0 would end the run
+            # with no checkpoint while max_steps-1 would have saved one —
+            # and (c) the EPOCH budget exhausting on such an epoch (the
+            # in-loop `epoch == epoch_budget` save gate is unreachable in
+            # strict mode, where done() exits at epoch >= epoch_budget).
+            run_ending = strict and (step >= step_budget or epoch >= epoch_budget)
+            if save_checkpoints and run_ending and (
                 not epoch_complete or not saved_this_epoch
             ):
                 save_checkpoint(

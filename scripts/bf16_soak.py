@@ -86,6 +86,8 @@ def main() -> None:
 
     if args.steps < 1:
         ap.error("--steps must be >= 1")
+    if args.steps_per_call < 1:
+        ap.error("--steps-per-call must be >= 1")
     # a superstep never exceeds the total budget (the run_leg tail-break
     # discards sub-superstep tails; without this clamp --steps < the default
     # --steps-per-call would run zero steps and die on an empty concatenate)

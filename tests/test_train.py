@@ -1158,3 +1158,38 @@ def test_finetuner_exact_resume_streaming_path(tmp_path):
         train_ds, val_ds, save_checkpoints=False, epochs=4, max_steps=2 * spe + 2
     )
     _assert_states_equal(control.state, resumed.state)
+
+
+def test_finetuner_epoch_budget_exhaustion_saves_resumable(tmp_path):
+    """A strict EPOCH budget exhausting on an epoch that saved nothing via
+    validation must also leave a resumable *_at_stepN checkpoint (the
+    in-loop `epoch == epoch_budget` save gate is unreachable in strict
+    mode), and resuming from it matches the uninterrupted control."""
+    from maskedsst_tpu.train.finetuner import Finetuner
+
+    cfg = _resume_cfg()
+    cfg.max_steps = 10**9  # sparse validation epochs: only epoch 0 validates
+    model = _resume_model(cfg)
+    ds = SyntheticCubeDataset(num_tiles=48, n_bands=40, n_classes=cfg.n_classes)
+    val_ds, train_ds = split_dataset(ds, 0.8, seed=5)
+    spe = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size
+
+    interrupted = Finetuner(cfg, model)
+    hist = interrupted.fit(
+        train_ds, val_ds, save_checkpoints=True, models_dir=str(tmp_path / "e"),
+        epochs=2, max_steps=10**6,
+    )
+    assert len(hist["val"]) == 1  # epoch 1 validated nothing, saved nothing
+    import glob
+
+    (path,) = glob.glob(
+        str(tmp_path / "e" / "*" / f"ViTSpatialSpectral_at_step{2 * spe}.msgpack")
+    )
+
+    control = Finetuner(cfg, model)
+    control.fit(train_ds, val_ds, save_checkpoints=False, epochs=3, max_steps=10**6)
+
+    resumed = Finetuner(cfg, model)
+    assert resumed.resume(path) == 2 * spe
+    resumed.fit(train_ds, val_ds, save_checkpoints=False, epochs=3, max_steps=10**6)
+    _assert_states_equal(control.state, resumed.state)
