@@ -201,3 +201,77 @@ def test_fused_finetune_step_mutation_detected():
     text = _finetune_text(mesh, broken=True)
     with pytest.raises(AssertionError):
         assert_contract(text, batch_elems=1024, what="mutated finetune step")
+
+
+def _serving_text(mesh, broken: bool) -> str:
+    import numpy as np
+
+    from maskedsst_tpu.models import ViTSpatialSpectral
+    from maskedsst_tpu.serve import Predictor
+
+    config = _tiny(
+        get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    )
+    model = ViTSpatialSpectral(
+        image_size=config.image_size,
+        spatial_patch_size=config.patch_size,
+        spectral_patch_size=config.band_patch_size,
+        num_classes=config.n_classes,
+        dim=config.transformer_dim,
+        depth=config.transformer_depth,
+        heads=config.transformer_n_heads,
+        mlp_dim=config.transformer_mlp_dim,
+        dropout=0.0,
+        emb_dropout=0.0,
+        channels=config.n_bands,
+        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
+        fused=True,
+        mesh=mesh,
+    )
+    import functools
+
+    x = jnp.zeros((config.batch_size, config.n_bands, 8, 8), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, deterministic=True))(
+        jax.random.PRNGKey(0), x
+    )
+    orig = pmesh.data_axis_or_warn
+    if broken:
+        pmesh.data_axis_or_warn = lambda *a, **k: 1
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pred = Predictor(
+                model, variables, mesh=mesh, batch_size=config.batch_size
+            )
+        shape = jax.ShapeDtypeStruct(
+            x.shape, jnp.float32, sharding=batch_sharding(mesh)
+        )
+        return pred._fwd.lower(pred.variables, shape).compile().as_text()
+    finally:
+        pmesh.data_axis_or_warn = orig
+
+
+def test_fused_serving_forward_collective_contract():
+    """Inference with replicated params and a batch-sharded input needs NO
+    collectives at all — any batch-sized all-gather means the fused serving
+    path (scripts/serving_bench workload, serve.Predictor) fell to GSPMD."""
+    mesh = _mesh()
+    text = _serving_text(mesh, broken=False)
+    colls = collectives(text)
+    gathered = [
+        (op, dt, n)
+        for op, dt, n in colls
+        if op in ("all-gather", "all-to-all") and n >= 1024
+    ]
+    assert not gathered, gathered
+
+
+def test_fused_serving_forward_mutation_detected():
+    mesh = _mesh()
+    text = _serving_text(mesh, broken=True)
+    gathered = [
+        (op, dt, n)
+        for op, dt, n in collectives(text)
+        if op in ("all-gather", "all-to-all") and n >= 1024
+    ]
+    assert gathered, "mutated serving forward shows no batch all-gather"
