@@ -10,6 +10,9 @@ not cover.
   (b) Finetune train step at the EnMAP recipe (ViTSpatialSpectral classifier,
       shifting-window tiling semantics, Adam) — bench.py tracks pretrain and
       serving only.
+  (c) Finetune train step at the Houston2018 recipe (bs 32, 50 bands → the
+      seq-5 ODD_SEQ_PAD spectral stack) — the second driver dataset, in the
+      driver-default bf16 and the fp32 control (round 5).
 
 Prints one JSON line per workload (same shape as bench.py, extra
 ``device_ms_per_step`` field from a jax.profiler trace) and is recorded in
@@ -17,7 +20,8 @@ BASELINE.md. Wall throughput uses superstep chains + host-fetch sync
 (block_until_ready is unreliable through the tunnel, CLAUDE.md); device time
 comes from the trace and is deterministic to ±0.001 ms.
 
-Usage: python scripts/bench_geometries.py [--workloads houston_pretrain,finetune_enmap]
+Usage: python scripts/bench_geometries.py
+       [--workloads houston_pretrain,finetune_enmap,finetune_houston]
 """
 
 import argparse
@@ -121,6 +125,10 @@ DEVICE_MS_LIMITS = {
     "finetune_enmap_bs2_cubes_per_sec_per_chip": ("device_module_ms_per_step", 1.55),
     "finetune_enmap_bs64_cubes_per_sec_per_chip": ("device_ms_per_step", 37.8),
     "finetune_enmap_bs64_bf16_cubes_per_sec_per_chip": ("device_ms_per_step", 33.6),
+    # round-5 measured: bf16 5.331 / fp32 6.259 ms/step (houston finetune,
+    # bs 32, seq-5 ODD_SEQ_PAD spectral stack)
+    "finetune_houston2018_bs32_bf16_cubes_per_sec_per_chip": ("device_ms_per_step", 5.8),
+    "finetune_houston2018_bs32_cubes_per_sec_per_chip": ("device_ms_per_step", 6.8),
 }
 
 
@@ -209,6 +217,20 @@ def bench_houston_pretrain(steps: int) -> dict:
 
 
 def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> dict:
+    return _bench_finetune("enmap", steps, batch=batch, bf16=bf16)
+
+
+def bench_finetune_houston(steps: int, bf16: bool = False) -> dict:
+    """Houston2018 finetune recipe (bs 32, 50 bands → 5 spectral blocks):
+    the odd-seq ODD_SEQ_PAD kernel route under the supervised CE step —
+    the one driver geometry bench_geometries didn't record before round 5.
+    Houston samples arrive at image_size (no tile crop), so tiles are built
+    at 8x8 directly."""
+    return _bench_finetune("houston2018", steps, bf16=bf16)
+
+
+def _bench_finetune(dataset_name: str, steps: int, batch: int = None,
+                    bf16: bool = False) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
@@ -221,7 +243,7 @@ def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> d
     from maskedsst_tpu.data.synthetic import SyntheticCubeDataset
 
     config = get_finetune_config(
-        "configs/finetune_config_enmap.yaml", "configs/config.yaml"
+        f"configs/finetune_config_{dataset_name}.yaml", "configs/config.yaml"
     )
     if batch is not None:
         config.batch_size = batch
@@ -235,10 +257,14 @@ def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> d
     # per-dispatch _train_step loop would measure the ~27 ms tunnel RTT,
     # not the trainer — that is how this bench originally understated the
     # reference-recipe bs-2 number by ~5x)
+    # houston patches arrive at image_size already (no 64x64 tile crop —
+    # Finetuner crop is gated on dataset in ("dfc", "worldcover"))
+    tile = 64 if dataset_name == "enmap" else config.image_size
     dataset = SyntheticCubeDataset(
         num_tiles=max(256, 2 * config.batch_size),
         n_bands=config.n_bands,
         n_classes=config.n_classes,
+        tile_size=tile,
         labeled=True,
     )
     store = DeviceTileStore(dataset, ft.mesh)
@@ -268,7 +294,7 @@ def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> d
     dev, mod = device_trace_ms(logdir) if info["traced"] else (float("nan"),) * 2
     tag = "_bf16" if bf16 else ""
     return _emit(
-        f"finetune_enmap_bs{config.batch_size}{tag}_cubes_per_sec_per_chip",
+        f"finetune_{dataset_name}_bs{config.batch_size}{tag}_cubes_per_sec_per_chip",
         steps * config.batch_size / wall / ft.mesh.devices.size,
         dev, steps, module_ms=mod,
     )
@@ -276,7 +302,9 @@ def bench_finetune_enmap(steps: int, batch: int = None, bf16: bool = False) -> d
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workloads", default="houston_pretrain,finetune_enmap")
+    ap.add_argument(
+        "--workloads", default="houston_pretrain,finetune_enmap,finetune_houston"
+    )
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument(
         "--assert", dest="assert_", action="store_true",
@@ -302,6 +330,13 @@ def main() -> None:
             records.append(bench_finetune_enmap(max(8, args.steps // 2)))
             records.append(bench_finetune_enmap(max(8, args.steps // 2), batch=64))
             records.append(bench_finetune_enmap(max(8, args.steps // 2), batch=64, bf16=True))
+        elif w == "finetune_houston":
+            # the second driver recipe (finetune_config_houston2018.yaml,
+            # bs 32, 50 bands -> seq-5 spectral stack): exercises the
+            # ODD_SEQ_PAD kernel route under the supervised CE step, in the
+            # driver-default bf16 and the --fp32 control
+            records.append(bench_finetune_houston(max(8, args.steps // 2), bf16=True))
+            records.append(bench_finetune_houston(max(8, args.steps // 2)))
         else:
             raise SystemExit(f"unknown workload {w}")
 

@@ -190,6 +190,8 @@ def test_geometry_device_gate_within_bounds():
         _georec("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.31, 1.50, suspect=True),
         _georec("finetune_enmap_bs64_cubes_per_sec_per_chip", 35.0, 35.2),
         _georec("finetune_enmap_bs64_bf16_cubes_per_sec_per_chip", 31.1, 31.3),
+        _georec("finetune_houston2018_bs32_bf16_cubes_per_sec_per_chip", 5.3, 5.4),
+        _georec("finetune_houston2018_bs32_cubes_per_sec_per_chip", 6.3, 6.4),
     ]
     failures, missing = bg.check_device_regressions(records)
     assert failures == [] and missing == []
@@ -202,6 +204,8 @@ def test_geometry_device_gate_trips_and_reports_missing():
         _georec("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.31, 1.9),  # envelope slow
         _georec("finetune_enmap_bs64_cubes_per_sec_per_chip", 35.0, 35.2),
         # bf16 leg absent: crashed
+        _georec("finetune_houston2018_bs32_bf16_cubes_per_sec_per_chip", 5.3, 5.4),
+        _georec("finetune_houston2018_bs32_cubes_per_sec_per_chip", 6.3, 6.4),
     ]
     failures, missing = bg.check_device_regressions(records)
     lim_h = bg.DEVICE_MS_LIMITS["houston_pretrain_cubes_per_sec_per_chip"][1]
@@ -224,6 +228,8 @@ def test_geometry_device_gate_rejects_untrustworthy_traces():
         _georec("finetune_enmap_bs2_cubes_per_sec_per_chip", 1.31, None),
         _georec("finetune_enmap_bs64_cubes_per_sec_per_chip", None, None),
         _georec("finetune_enmap_bs64_bf16_cubes_per_sec_per_chip", 31.1, 31.3),
+        _georec("finetune_houston2018_bs32_bf16_cubes_per_sec_per_chip", 5.3, 5.4),
+        _georec("finetune_houston2018_bs32_cubes_per_sec_per_chip", 6.3, 6.4),
     ]
     failures, missing = bg.check_device_regressions(records)
     assert missing == []
