@@ -17,6 +17,8 @@ import argparse
 import glob
 import os
 import shutil
+import socket
+import time
 
 NODATA = -32768.0
 
@@ -111,9 +113,6 @@ def main() -> None:
         else:
             test_root = os.path.normpath(args.output_dir) + "_test"
 
-    import glob as _glob
-    import time as _time
-
     for product in products:
         filename = os.path.basename(product).split(".TIF")[0]
         outdir = os.path.join(args.output_dir, filename)
@@ -127,9 +126,9 @@ def main() -> None:
         # untouched for >10 min are swept: a CONCURRENT run actively writing
         # its own staging dir must not be clobbered mid-product (tile writes
         # refresh the dir mtime continuously).
-        for stale in _glob.glob(f"{outdir}.tmp*"):
+        for stale in glob.glob(f"{outdir}.tmp*"):
             try:
-                idle = _time.time() - os.path.getmtime(stale)
+                idle = time.time() - os.path.getmtime(stale)
             except OSError:
                 continue  # vanished (its owner just renamed it into place)
             if idle > 600:
@@ -137,11 +136,14 @@ def main() -> None:
         if os.path.exists(outdir):
             print(f"{filename}: already processed, skipping")
             continue
-        # write into a pid-unique temp dir and rename into place: a crash
-        # mid-product must not leave a partial outdir that the skip above
-        # would treat as complete on the next run (silently dropping tiles)
-        tmpdir = f"{outdir}.tmp{os.getpid()}"
-        if os.path.exists(tmpdir):  # our own pid, re-used: always stale
+        # write into a host+pid-unique temp dir and rename into place: a
+        # crash mid-product must not leave a partial outdir that the skip
+        # above would treat as complete on the next run (silently dropping
+        # tiles). Host-unique because two HOSTS sharing an output dir (NFS)
+        # can collide on bare pids, and the collider would rmtree the other
+        # run's live staging as "its own stale dir".
+        tmpdir = f"{outdir}.tmp{socket.gethostname()}-{os.getpid()}"
+        if os.path.exists(tmpdir):  # our own host+pid, re-used: always stale
             shutil.rmtree(tmpdir)
         n = process_product(product, tmpdir, args.tile_size, args.upscale)
         os.makedirs(os.path.dirname(outdir) or ".", exist_ok=True)

@@ -548,16 +548,6 @@ class Pretrainer:
                 history["train_loss"].append(last)
                 tracker.log({"epoch": epoch, "loss": last}, step=step)
 
-            if save_checkpoints and epoch % model_save_freq == 0:
-                save_checkpoint(
-                    os.path.join(run_dir, f"model_{cfg.encoder_name}_ep{epoch}.msgpack"),
-                    self.state,
-                    cfg,
-                    extra={"epoch": epoch, **self._scheduler_extra()},
-                )
-                if epoch == 10 and model_save_freq == 1:
-                    model_save_freq = 10  # pretrain.py:150-151
-
             if not cfg.get("skip_val", False) and epoch_complete:
                 val_losses = []
                 for vi, batch in enumerate(val_loader):
@@ -584,7 +574,41 @@ class Pretrainer:
                 self.state = self.state.replace(
                     opt_state=self.scheduler.update(self.state.opt_state)
                 )
+            # epoch checkpoints save AFTER the epoch's validation/scheduler
+            # updates and only for COMPLETED epochs, so model_*_ep{N} carries
+            # the post-epoch LR + scheduler counters and resume() continues
+            # the LR trajectory exactly (the pre-round-5 ordering saved the
+            # PRE-update scheduler state — a resumed cosine run would lag the
+            # control by one epoch of annealing forever; same policy as
+            # Finetuner.fit). The reference saves before validation
+            # (pretrain.py:135-151) but its checkpoints carry weights only,
+            # so only the sidecar is affected by the ordering.
+            saved_this_epoch = False
+            if save_checkpoints and epoch_complete and epoch % model_save_freq == 0:
+                save_checkpoint(
+                    os.path.join(run_dir, f"model_{cfg.encoder_name}_ep{epoch}.msgpack"),
+                    self.state,
+                    cfg,
+                    extra={"epoch": epoch, **self._scheduler_extra()},
+                )
+                saved_this_epoch = True
+            if epoch == 10 and model_save_freq == 1 and epoch_complete:
+                model_save_freq = 10  # pretrain.py:150-151
             if max_steps is not None and step >= max_steps:
+                # a max_steps break must always leave a resumable full-state
+                # checkpoint at the stopping point (mid-epoch, or a completed
+                # final epoch off the save frequency) — same guarantee as
+                # Finetuner.fit's run_ending save
+                if save_checkpoints and not saved_this_epoch:
+                    save_checkpoint(
+                        os.path.join(
+                            run_dir,
+                            f"model_{cfg.encoder_name}_at_step{step}.msgpack",
+                        ),
+                        self.state,
+                        cfg,
+                        extra={"epoch": epoch, **self._scheduler_extra()},
+                    )
                 break
 
         history["throughput"] = meter.stats()

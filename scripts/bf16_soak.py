@@ -88,6 +88,12 @@ def main() -> None:
         ap.error("--steps must be >= 1")
     if args.steps_per_call < 1:
         ap.error("--steps-per-call must be >= 1")
+    if args.stride < 1:
+        ap.error("--stride must be >= 1")
+    if args.window < 1:
+        # window 0 would compare FULL-run means ([-0:] is the whole array)
+        # and silently change the --assert verdict
+        ap.error("--window must be >= 1")
     # a superstep never exceeds the total budget (the run_leg tail-break
     # discards sub-superstep tails; without this clamp --steps < the default
     # --steps-per-call would run zero steps and die on an empty concatenate)

@@ -204,30 +204,16 @@ def test_fused_finetune_step_mutation_detected():
 
 
 def _serving_text(mesh, broken: bool) -> str:
-    import numpy as np
-
-    from maskedsst_tpu.models import ViTSpatialSpectral
     from maskedsst_tpu.serve import Predictor
+    from maskedsst_tpu.train.pretrainer import build_pretrain_model
 
     config = _tiny(
         get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
     )
-    model = ViTSpatialSpectral(
-        image_size=config.image_size,
-        spatial_patch_size=config.patch_size,
-        spectral_patch_size=config.band_patch_size,
-        num_classes=config.n_classes,
-        dim=config.transformer_dim,
-        depth=config.transformer_depth,
-        heads=config.transformer_n_heads,
-        mlp_dim=config.transformer_mlp_dim,
-        dropout=0.0,
-        emb_dropout=0.0,
-        channels=config.n_bands,
-        spectral_pos=list(range(config.n_bands // config.band_patch_size)),
-        fused=True,
-        mesh=mesh,
-    )
+    # the encoder exactly as the production builder threads it (fused +
+    # mesh gating included) — a hand-built copy here would drift when the
+    # builder gains kwargs
+    model = build_pretrain_model(config, mesh=mesh).encoder
     import functools
 
     x = jnp.zeros((config.batch_size, config.n_bands, 8, 8), jnp.float32)

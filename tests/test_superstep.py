@@ -290,3 +290,63 @@ def test_index_batcher_take():
     assert got.shape == (10, 8) and got.dtype == np.int32
     # successive takes keep advancing the shuffle (no replay)
     assert not np.array_equal(a.take(4), IndexBatcher(32, 8, seed=3).take(4))
+
+
+def test_fit_written_checkpoint_resumes_scheduler_exactly(tmp_path):
+    """Epoch checkpoints written by fit() itself must carry the POST-epoch
+    scheduler state: under the cosine scheduler (one LR update per completed
+    epoch) a resume from model_*_ep{N} that lagged one annealing step would
+    diverge from the control forever (the pre-round-5 ordering saved before
+    the scheduler update). Also pins the max_steps at_step fallback save."""
+    import glob as g
+
+    from maskedsst_tpu.train.checkpoint import load_metadata
+
+    def mk():
+        cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+        cfg.n_bands = 40
+        cfg.transformer_dim = 24
+        cfg.transformer_depth = 2
+        cfg.transformer_n_heads = 2
+        cfg.transformer_mlp_dim = 16
+        cfg.batch_size = 8
+        cfg.steps_per_call = 2
+        cfg.logging_freq = 1000
+        cfg.skip_val = True
+        cfg.scheduler = "cosine"
+        cfg.model_save_freq = 1
+        return cfg
+
+    ds = SyntheticCubeDataset(num_tiles=32, n_bands=40, labeled=False)
+
+    control = Pretrainer(mk())
+    control.fit(ds, epochs=3, save_checkpoints=False, models_dir=str(tmp_path))
+
+    interrupted = Pretrainer(mk())
+    interrupted.fit(ds, epochs=2, save_checkpoints=True, models_dir=str(tmp_path / "i"))
+    spe = int(interrupted.state.step) // 2  # fit() splits off its own val set
+    (ep1,) = g.glob(str(tmp_path / "i" / "*" / "model_*_ep1.msgpack"))
+    # post-epoch scheduler state in the sidecar: 2 completed cosine epochs
+    assert load_metadata(ep1)["extra"]["scheduler"]["epoch"] == 2
+
+    resumed = Pretrainer(mk())
+    assert resumed.resume(ep1) == 2 * spe
+    assert resumed.scheduler.epoch == 2
+    resumed.fit(ds, epochs=3, save_checkpoints=False, models_dir=str(tmp_path))
+
+    for pa, pb in zip(
+        jax.tree.leaves(control.state.params), jax.tree.leaves(resumed.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for oa, ob in zip(
+        jax.tree.leaves(control.state.opt_state), jax.tree.leaves(resumed.state.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+    # max_steps break mid-epoch: the at_step fallback checkpoint appears
+    # (truncated epochs no longer write a misleading ep{N} file)
+    tr = Pretrainer(mk())
+    tr.fit(ds, epochs=10, max_steps=spe + 1, save_checkpoints=True,
+           models_dir=str(tmp_path / "m"))
+    (at,) = g.glob(str(tmp_path / "m" / "*" / f"model_*_at_step{spe + 1}.msgpack"))
+    assert not g.glob(str(tmp_path / "m" / "*" / "model_*_ep1.msgpack"))
