@@ -180,6 +180,29 @@ def test_fused_pretrain_step_collective_contract():
     assert_contract(text, batch_elems=1024, what="fused pretrain step")
 
 
+def test_fused_pretrain_superstep_collective_contract():
+    """The PRODUCTION dispatch is the superstep (lax.scan of K steps over
+    HBM-resident tiles, _train_superstep) — the contract must hold inside
+    the scanned body too, where the store gather/crop adds its own
+    sharding seams."""
+    from maskedsst_tpu.train.pretrainer import Pretrainer
+
+    config = _tiny(
+        get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    )
+    config.steps_per_call = 2
+    mesh = _mesh()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr = Pretrainer(config, mesh=mesh)
+    tiles = jax.ShapeDtypeStruct((32, config.n_bands, 64, 64), jnp.float32)
+    idx = jax.ShapeDtypeStruct((2, config.batch_size), jnp.int32)
+    text = (
+        tr._train_superstep.lower(tr.state, tiles, idx).compile().as_text()
+    )
+    assert_contract(text, batch_elems=1024, what="fused pretrain superstep")
+
+
 def test_fused_pretrain_step_mutation_detected():
     """Detector-has-teeth leg: with data_axis_or_warn forced to 1 (the
     GSPMD-fallback mutation), the optimized HLO must contain batch-sized
