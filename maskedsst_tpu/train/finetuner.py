@@ -481,7 +481,7 @@ class Finetuner:
         if save_checkpoints and jax.process_index() == 0:
             os.makedirs(run_dir, exist_ok=True)
 
-        n_data = self.mesh.shape["data"]
+        n_data = self.mesh.shape.get("data", 1)
         assert cfg.batch_size % n_data == 0 or cfg.batch_size < n_data, (
             f"{cfg.batch_size=} not divisible by data-parallel degree {n_data}"
         )
@@ -656,7 +656,13 @@ class Finetuner:
                             train_store.arrays["label"],
                             chunk,
                         )
-                        metrics_k = {kk: np.asarray(v) for kk, v in metrics_k.items()}
+                        # keep metrics as DEVICE arrays: converting here
+                        # would block on the just-dispatched superstep and
+                        # pay up to 3 device→host fetches per chunk (~27 ms
+                        # each through the tunnel) even when no logging
+                        # boundary falls in it. window_means() fetches once
+                        # per boundary; the epoch-end history append syncs
+                        # once per epoch (same policy as Pretrainer.fit).
                         meter.tick(k)
                         # chunk-shared rates, read only when a boundary will
                         # consume them (window-reset policy on Throughput)
@@ -774,6 +780,12 @@ class Finetuner:
             # counters (resume-exactness; params are unaffected by ordering)
             saved_this_epoch = False
             if val_mean is not None and save_checkpoints:
+                # gated behind a validation having RUN, like the reference,
+                # whose saves live inside validate_downstream
+                # (src/utils.py:584-604) — a checkpoint_save_epoch that is
+                # not also a validation epoch never saves there either. The
+                # done() fallback below still guarantees the run can't END
+                # without a resumable checkpoint.
                 save_now = (
                     epoch == epoch_budget
                     or epoch in cfg.get("checkpoint_save_epochs", [])
@@ -796,19 +808,22 @@ class Finetuner:
                     saved_this_epoch = True
             if epoch_complete:
                 epoch += 1
-            # a strict budget ending must always leave a resumable
-            # full-state checkpoint at the stopping point — this is what
-            # makes resume possible at all. Three cases: (a) mid-epoch
-            # step-budget break (epoch hooks deferred to the resumed
-            # process), (b) the step budget landing EXACTLY on an epoch
-            # boundary whose epoch saved nothing (not a validation/save
-            # epoch) — without this, max_steps % spe == 0 would end the run
-            # with no checkpoint while max_steps-1 would have saved one —
-            # and (c) the EPOCH budget exhausting on such an epoch (the
-            # in-loop `epoch == epoch_budget` save gate is unreachable in
-            # strict mode, where done() exits at epoch >= epoch_budget).
-            run_ending = strict and (step >= step_budget or epoch >= epoch_budget)
-            if save_checkpoints and run_ending and (
+            # a budget ending must always leave a resumable full-state
+            # checkpoint at the stopping point — this is what makes resume
+            # possible at all. Cases: (a) mid-epoch step-budget break (epoch
+            # hooks deferred to the resumed process), (b) the step budget
+            # landing EXACTLY on an epoch boundary whose epoch saved nothing
+            # (not a validation/save epoch) — without this, max_steps % spe
+            # == 0 would end the run with no checkpoint while max_steps-1
+            # would have saved one — (c) the EPOCH budget exhausting on such
+            # an epoch (the in-loop `epoch == epoch_budget` save gate is
+            # unreachable in strict mode, where done() exits at epoch >=
+            # epoch_budget), and (d) a NON-strict (config-budget) run whose
+            # step budget dominates: it can run far past cfg.epoch saving
+            # only on new-best, and would otherwise end with its final state
+            # nowhere on disk. done() re-evaluated after the epoch increment
+            # is exactly the "loop exits now" predicate in every regime.
+            if save_checkpoints and done() and (
                 not epoch_complete or not saved_this_epoch
             ):
                 save_checkpoint(

@@ -159,8 +159,16 @@ class Pretrainer:
             self.scheduler = ReduceLROnPlateau(factor=0.9, patience=5)
         elif config.scheduler == "cosine":
             self.scheduler = CosineAnnealingLR(config.lr, t_max=50)
-        else:
+        elif config.scheduler in (None, "", "none", "None"):
             self.scheduler = None
+        else:
+            # a typo'd value (e.g. the torch class name "CosineAnnealingLR")
+            # used to silently disable LR scheduling — constant-LR training
+            # whose divergence only shows in final loss
+            raise ValueError(
+                f"unknown scheduler {config.scheduler!r}: use "
+                "'ReduceLROnPlateau', 'cosine', or none"
+            )
 
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicate(self.mesh)
@@ -440,8 +448,15 @@ class Pretrainer:
             model_save_freq = 10  # the epoch-10 switch already fired pre-resume
         history = {"train_loss": [], "val_loss": []}
 
+        # log_grad_norm is honored on the single-step paths (their metrics
+        # dict carries it); the superstep scan returns the loss vector only,
+        # so the debug flag forces steps_per_call down to 1 — debugging
+        # gradient health trumps dispatch amortization
+        log_gn = bool(cfg.get("log_grad_norm", False))
+        gn_window: list = []
+
         def log_maybe(epoch, prev_step):
-            nonlocal loss_window
+            nonlocal loss_window, gn_window
             freq = cfg.logging_freq
             # chunk-average rates shared by every boundary row this chunk
             # emits; None = no boundary crossed, nothing to log (the
@@ -457,6 +472,9 @@ class Pretrainer:
             flat = np.concatenate(
                 [np.atleast_1d(np.asarray(x)) for x in loss_window]
             ) if loss_window else np.empty((0,))
+            flat_gn = np.concatenate(
+                [np.atleast_1d(np.asarray(x)) for x in gn_window]
+            ) if gn_window else None
             # lr is constant within a chunk (schedulers step between epochs,
             # reference pretrain.py:194-197), so one read serves every
             # boundary entry; meter stats are windowed rates, same deal
@@ -469,13 +487,25 @@ class Pretrainer:
                 loss = float(window.mean()) if window.size else float("nan")
                 if np.isnan(loss):
                     raise ValueError("Loss is NaN")
-                tracker.log(
-                    {"epoch": epoch, "loss": loss, "lr": lr, **rates},
-                    step=b,
-                )
+                row = {"epoch": epoch, "loss": loss, "lr": lr, **rates}
+                if flat_gn is not None:
+                    gn_end = flat_gn.size - (step - b)
+                    gw = flat_gn[max(0, gn_end - freq) : gn_end]
+                    if gw.size:
+                        row["grad_norm"] = float(gw.mean())
+                tracker.log(row, step=b)
             loss_window = [flat[-freq:]]
+            if flat_gn is not None:
+                gn_window = [flat_gn[-freq:]]
 
         for epoch in range(start_epoch, epochs):
+            # budget check BEFORE any dispatch: entering fit() with the
+            # restored step already at/above max_steps must train nothing —
+            # the streamed path's in-loop check fires only AFTER a step, so
+            # without this a resumed-past-budget run would train (and
+            # checkpoint) one extra step and diverge from the store path
+            if max_steps is not None and step >= max_steps:
+                break
             metrics = None  # guards empty loaders (train set < batch_size)
             if train_store is not None:
                 # scan steps_per_call steps per dispatch (full chunks only;
@@ -483,7 +513,7 @@ class Pretrainer:
                 idx_batches = list(loader)
                 if epoch == start_epoch and resume_skip:
                     idx_batches = idx_batches[resume_skip:]
-                k = max(1, self.steps_per_call)
+                k = 1 if log_gn else max(1, self.steps_per_call)
                 pos = 0
                 while pos < len(idx_batches):
                     prev_step = step
@@ -514,6 +544,8 @@ class Pretrainer:
                                 self._put_replicated(idx),
                             )
                             loss_window.append(metrics["loss"])
+                            if log_gn and "grad_norm" in metrics:
+                                gn_window.append(metrics["grad_norm"])
                             step += 1
                             meter.tick()
                     log_maybe(epoch, prev_step)
@@ -526,6 +558,8 @@ class Pretrainer:
                         self.state, self._global_batch(batch["img"])
                     )
                     loss_window.append(metrics["loss"])
+                    if log_gn and "grad_norm" in metrics:
+                        gn_window.append(metrics["grad_norm"])
                     step += 1
                     meter.tick()
                     log_maybe(epoch, prev_step)

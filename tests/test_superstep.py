@@ -350,3 +350,38 @@ def test_fit_written_checkpoint_resumes_scheduler_exactly(tmp_path):
            models_dir=str(tmp_path / "m"))
     (at,) = g.glob(str(tmp_path / "m" / "*" / f"model_*_at_step{spe + 1}.msgpack"))
     assert not g.glob(str(tmp_path / "m" / "*" / "model_*_ep1.msgpack"))
+
+
+def test_log_grad_norm_reaches_tracker(tmp_path):
+    """cfg.log_grad_norm must actually surface grad_norm rows (the flag
+    used to pay a per-step global_norm whose value no logging path ever
+    consumed); it forces single-step dispatch so the metric exists."""
+    from maskedsst_tpu.utils.tracking import Tracker
+
+    class Capture(Tracker):
+        def __init__(self):
+            super().__init__("test", use_wandb=False, quiet=True)
+            self.rows = []
+
+        def log(self, scalars, step=None):
+            self.rows.append((step, dict(scalars)))
+
+    cfg = get_pretrain_config("configs/pretrain_config.yaml", "configs/config.yaml")
+    cfg.n_bands = 40
+    cfg.transformer_dim = 24
+    cfg.transformer_depth = 2
+    cfg.transformer_n_heads = 2
+    cfg.transformer_mlp_dim = 16
+    cfg.batch_size = 8
+    cfg.steps_per_call = 4
+    cfg.logging_freq = 2
+    cfg.skip_val = True
+    cfg.log_grad_norm = True
+
+    ds = SyntheticCubeDataset(num_tiles=32, n_bands=40, labeled=False)
+    tr = Pretrainer(cfg)
+    cap = Capture()
+    tr.fit(ds, epochs=1, tracker=cap, save_checkpoints=False, models_dir=str(tmp_path))
+    gn_rows = [m for _, m in cap.rows if "grad_norm" in m]
+    assert gn_rows, cap.rows
+    assert all(np.isfinite(m["grad_norm"]) and m["grad_norm"] > 0 for m in gn_rows)
