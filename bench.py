@@ -94,7 +94,6 @@ def main() -> None:
     _probe_device(float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "900")))
 
     import jax.numpy as jnp
-    import numpy as np
 
     from maskedsst_tpu.utils.compile_cache import enable_persistent_cache
 

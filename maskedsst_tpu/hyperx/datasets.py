@@ -191,7 +191,18 @@ def get_dataset(
                 dst = os.path.join(folder, name)
                 if not os.path.exists(dst):
                     print(f"downloading {url}")
-                    urlretrieve(url, dst)
+                    # download to a staging name and rename into place: an
+                    # interrupted transfer must not leave a truncated file
+                    # the exists() gate above would treat as complete on the
+                    # next run (same partial-artifact policy as the EnMAP
+                    # ETL's staging dirs)
+                    part = f"{dst}.part{os.getpid()}"
+                    try:
+                        urlretrieve(url, part)
+                        os.replace(part, dst)
+                    finally:
+                        if os.path.exists(part):
+                            os.remove(part)
         img = open_file(os.path.join(folder, cfg["img"]))[cfg["img_key"]]
         gt = open_file(os.path.join(folder, cfg["gt"]))[cfg["gt_key"]]
         label_values = cfg["label_values"]

@@ -41,7 +41,7 @@ SVM_GRID_PARAMS = [
 ]
 
 
-def run_sklearn(name: str, img, gt, train_gt, test_gt, ignored, class_balancing=False):
+def run_sklearn(name: str, img, train_gt, ignored, class_balancing=False):
     """sklearn baseline paths (DeepHyperX/main.py:321-368): SVM, SVM_grid
     (grid search over linear/poly/RBF kernels), SGD (standard-scaled) and
     nearest-neighbors (grid search over n_neighbors). ``class_weight`` is
@@ -109,6 +109,9 @@ def main() -> None:
     parser.add_argument("--radiation_augmentation", action="store_true")
     parser.add_argument("--mixture_augmentation", action="store_true")
     parser.add_argument("--download", action="store_true")
+    # reference-CLI compatibility: DeepHyperX invocations carry --cuda; the
+    # TPU build accepts and ignores it (the usage line promises as much)
+    parser.add_argument("--cuda", default=None, help="ignored (TPU build)")
     parser.add_argument(
         "--restore", default=None,
         help="params checkpoint (.msgpack) loaded before training "
@@ -201,7 +204,7 @@ def main() -> None:
 
         if args.model in ("SVM", "SVM_grid", "SGD", "nearest"):
             prediction = run_sklearn(
-                args.model, img, gt, train_gt, test_gt, ignored_labels,
+                args.model, img, train_gt, ignored_labels,
                 class_balancing=args.class_balancing,
             )
         else:

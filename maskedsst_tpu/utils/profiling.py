@@ -185,37 +185,3 @@ def traced_busy_ms(logdir: str, fn, timeout_s: float = 20.0) -> Optional[float]:
     if tr is None or tr.overcounted or tr.busy_ms <= 0:
         return None
     return tr.busy_ms
-
-
-class StepTimer:
-    """Simple step timer that forces completion via a host fetch (reliable on
-    backends where block_until_ready is advisory)."""
-
-    def __init__(self):
-        self.times: list = []
-        self._t0: Optional[float] = None
-
-    def start(self) -> None:
-        self._t0 = time.perf_counter()
-
-    def stop(self, sync_value=None) -> float:
-        if sync_value is not None:
-            import numpy as np
-
-            np.asarray(sync_value).ravel()[:1]
-        dt = time.perf_counter() - (self._t0 or time.perf_counter())
-        self.times.append(dt)
-        return dt
-
-    def summary(self) -> dict:
-        if not self.times:
-            return {}
-        import numpy as np
-
-        arr = np.asarray(self.times)
-        return {
-            "mean_ms": float(arr.mean() * 1e3),
-            "p50_ms": float(np.percentile(arr, 50) * 1e3),
-            "p95_ms": float(np.percentile(arr, 95) * 1e3),
-            "n": len(arr),
-        }

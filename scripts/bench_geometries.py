@@ -166,7 +166,6 @@ def check_device_regressions(records, limits=None):
 
 def bench_houston_pretrain(steps: int) -> dict:
     import jax.numpy as jnp
-    import numpy as np
 
     from maskedsst_tpu.config import get_pretrain_config
     from maskedsst_tpu.data.device_store import DeviceTileStore, IndexBatcher

@@ -104,7 +104,14 @@ def main() -> None:
     enable_persistent_cache()
     import numpy as np
 
-    record = {"steps": args.steps, "recipe": "pretrain_config.yaml (EnMAP "
+    # run_leg discards a sub-superstep tail; record what actually RUNS so
+    # the JSON never overstates the soak length
+    actual = (args.steps // args.steps_per_call) * args.steps_per_call
+    if actual != args.steps:
+        print(f"note: {args.steps - actual}-step tail below one superstep "
+              f"is discarded; soaking {actual} steps per leg")
+    record = {"steps": actual, "steps_requested": args.steps,
+              "recipe": "pretrain_config.yaml (EnMAP "
               "geometry, bs 64, AdamW 8e-3, mask 0.70 tube, dropout 0.1)",
               "legs": {}}
     finals = {}

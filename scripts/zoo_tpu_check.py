@@ -162,6 +162,11 @@ def main() -> None:
     names = args.names.split(",")
     dt = args.device_time
     dt_names = set() if dt == "none" else set(names) if dt == "all" else set(dt.split(","))
+    unknown = dt_names - set(names)
+    if unknown:
+        # fail FAST: a typo'd net name would otherwise be discovered only
+        # after the slow on-chip run completes, with the column missing
+        ap.error(f"--device-time names not in --names: {sorted(unknown)}")
     rows, ok = [], True
     for name in names:
         try:

@@ -1,16 +1,15 @@
-"""utils/profiling.py coverage: the watchdog-guarded tracer and StepTimer.
+"""utils/profiling.py coverage: the watchdog-guarded tracer.
 
 The reference has no profiling subsystem (SURVEY.md §5.1); these helpers are
 new TPU-side tooling, so the tests only pin our own contract: trace() always
 yields a dict with wall_s and never raises even when the backend cannot
-profile, and StepTimer aggregates correctly.
+profile, and traced_busy_ms degrades to None instead of raising.
 """
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from maskedsst_tpu.utils.profiling import StepTimer, trace
+from maskedsst_tpu.utils.profiling import trace, traced_busy_ms
 
 
 def test_trace_yields_wall_time(tmp_path):
@@ -39,21 +38,17 @@ def test_trace_degrades_on_hung_profiler(tmp_path, monkeypatch):
     assert info["wall_s"] >= 0.0
 
 
-def test_step_timer_summary():
-    t = StepTimer()
-    for _ in range(4):
-        t.start()
-        y = jnp.arange(16.0) + 1.0
-        t.stop(sync_value=y)  # host fetch forces completion
-    s = t.summary()
-    assert s["n"] == 4
-    assert s["mean_ms"] > 0.0
-    assert s["p50_ms"] <= s["p95_ms"] * (1 + 1e-9)
-    assert StepTimer().summary() == {}
+def test_traced_busy_ms_degrades_to_none(tmp_path, monkeypatch):
+    """On backends that cannot trace (or whose traces carry no device pids,
+    like CPU), traced_busy_ms returns None rather than raising — its
+    consumers (bench.py attribution, zoo device column) are best-effort."""
+    import time
 
+    def _hang(*a, **k):
+        time.sleep(30.0)
 
-def test_step_timer_sync_fetches_value():
-    t = StepTimer()
-    t.start()
-    dt = t.stop(sync_value=np.zeros((0,)))  # empty arrays must not raise
-    assert dt >= 0.0
+    monkeypatch.setattr(jax.profiler, "start_trace", _hang)
+    ran = []
+    out = traced_busy_ms(str(tmp_path / "tr"), lambda: ran.append(1), timeout_s=0.2)
+    assert out is None
+    assert ran == [1]  # the workload still runs, untraced
