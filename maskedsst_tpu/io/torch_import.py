@@ -327,6 +327,15 @@ def import_zoo(sd: Mapping[str, Any], variables: Mapping[str, Any]) -> Dict[str,
             )
             continue
         if "weight_ih_l0" in tensors:  # torch nn.GRU, single layer
+            extra = set(tensors) - {
+                "weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"
+            }
+            assert not extra, (
+                f"{prefix}: GRU has tensors beyond the single-layer "
+                f"unidirectional set ({sorted(extra)}) — multi-layer/"
+                "bidirectional GRUs are not representable here; refusing to "
+                "silently drop recurrent weights"
+            )
             _assign(
                 params[flax_name],
                 {
@@ -363,11 +372,28 @@ def import_zoo(sd: Mapping[str, Any], variables: Mapping[str, Any]) -> Dict[str,
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a ``.pth`` file into plain numpy-backed dicts (torch CPU)."""
+    """Load a ``.pth`` file into plain numpy-backed dicts (torch CPU).
+
+    Tries the pickle-restricted ``weights_only=True`` first (tensor/dict
+    payloads — everything this framework exports); reference-era blobs
+    whose ``config`` entry pickles a custom Dotdict need the unrestricted
+    loader, which executes arbitrary pickle bytecode — fall back only with
+    a loud warning so loading an untrusted file is a conscious act."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
-    return blob
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: not loadable under weights_only=True (non-tensor "
+            "pickled objects, e.g. the reference's Dotdict config); falling "
+            "back to the UNRESTRICTED pickle loader — only do this for "
+            "checkpoints from a trusted source",
+            stacklevel=2,
+        )
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 # --- export (inverse importer): flax params → reference state-dict keys -----

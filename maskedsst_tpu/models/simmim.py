@@ -263,6 +263,18 @@ class SimMIMSpatialSpectral(nn.Module):
         encoded = encoded.reshape(b, n_blocks, n_spatial, enc.dim)
 
         # --- decode ALL tokens, weight the loss to the masked subset --------
+        if self.intermediate_losses:
+            from maskedsst_tpu.models.vit_spatial_spectral_v1 import (
+                ViTSpatialSpectralV1,
+            )
+
+            assert isinstance(self.encoder, ViTSpatialSpectralV1), (
+                "intermediate_losses requires the V1 encoder: the x3 factor "
+                "reproduces V1's triple-representation sum "
+                "(src/vit_spatial_spectral.py:723-732); the reference CRASHES "
+                "on non-V1 encoders (NameError, vit_simmim_original.py:305) "
+                "rather than training with a silent 3x loss scale"
+            )
         if self.to_pixels_per_spectral_block and fused_head:
             # production path: one Pallas kernel for decode + weighted L1
             # (interpret mode off-TPU), fwd and custom-VJP bwd

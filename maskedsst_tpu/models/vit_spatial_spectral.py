@@ -107,6 +107,11 @@ class ViTSpatialSpectral(nn.Module):
 
     def setup(self):
         img_h, img_w = _pair(self.image_size)
+        # square scenes only: num_spatial_patches squares the height-derived
+        # count and the SimMIM mask geometry takes one side — a rectangular
+        # tuple would pass the divisibility check here and die much later in
+        # transformer_forward's token-count assert (far from the cause)
+        assert img_h == img_w, f"image_size must be square, got {img_h}x{img_w}"
         assert (
             img_h % self.patch_height == 0
             and img_w % self.patch_width == 0
@@ -190,17 +195,14 @@ class ViTSpatialSpectral(nn.Module):
             self.spatial_transformer = tf_cls(**tf_kwargs)
             self.spectral_transformer = tf_cls(**tf_kwargs)
 
-        # classification heads (reference :437-493)
+        # classification heads (reference :437-493): pixelwise emits one
+        # logit vector per image; the per-patch-pixel heads (default and
+        # spectral_mlp_head — same layout, different forward consumption)
+        # emit num_classes per patch pixel
         num_out_pixels = self.patch_height * self.patch_width
-        if self.spectral_mlp_head:
-            self.head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
-            self.head_linear = nn.Dense(self.num_classes * num_out_pixels, dtype=self.dtype)
-        elif self.pixelwise:
-            self.head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
-            self.head_linear = nn.Dense(self.num_classes, dtype=self.dtype)
-        else:
-            self.head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
-            self.head_linear = nn.Dense(self.num_classes * num_out_pixels, dtype=self.dtype)
+        width = self.num_classes if self.pixelwise else self.num_classes * num_out_pixels
+        self.head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.head_linear = nn.Dense(width, dtype=self.dtype)
 
     # ---- sub-entry points (used by the SimMIM wrapper, reference :495-534) --
     def get_pos_embeddings(self) -> jnp.ndarray:

@@ -142,7 +142,13 @@ def loss_weights(bool_mask: jnp.ndarray, num_masked: int) -> jnp.ndarray:
 def masked_indices(bool_mask: jnp.ndarray, num_masked: int) -> jnp.ndarray:
     """First ``num_masked`` masked token indices per row, ascending
     (reference bool_mask_to_indices). Used by parity tests and the eval-time
-    reconstruction API; the training loss uses :func:`loss_weights` instead."""
+    reconstruction API; the training loss uses :func:`loss_weights` instead.
+
+    CONTRACT: every row must carry at least ``num_masked`` True entries
+    (MaskGenerator guarantees it by construction). Rows with fewer pad with
+    index 0 — flatnonzero's fill_value, unverifiable inside a traced
+    context — so a caller-built mask violating the contract silently
+    reconstructs token 0 repeatedly; validate externally."""
 
     def one(row):
         return jnp.flatnonzero(row, size=num_masked, fill_value=0)
