@@ -30,8 +30,8 @@ from maskedsst_tpu.parallel.mesh import replicate
 class DeviceTileStore:
     """Stacks a map-style dataset's samples into device-resident arrays.
 
-    fields: which sample keys to stack (default: all keys of sample 0 whose
-    values are arrays/scalars).
+    Stacked keys are all keys of sample 0 whose values are arrays/scalars
+    (string/bytes fields are skipped).
     """
 
     def __init__(self, dataset, mesh, max_bytes: int = 8 * 1024**3):
@@ -62,7 +62,9 @@ class DeviceTileStore:
         for k in fields:
             v0 = np.asarray(first[k])
             host[k] = np.empty((n, *v0.shape), v0.dtype)
-        for i in range(n):
+        for k in fields:  # sample 0 is already decoded — don't re-read it
+            host[k][0] = np.asarray(first[k])
+        for i in range(1, n):
             sample = dataset[i]
             for k in fields:
                 host[k][i] = np.asarray(sample[k])

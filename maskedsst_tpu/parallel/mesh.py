@@ -152,14 +152,22 @@ def global_streamed_batch(mesh: Mesh, batch):
     nproc = jax.process_count()
     if nproc > 1:
         pid = jax.process_index()
+        n_data = mesh.shape.get("data", 1)
 
         def _slice(x):
             x = np.asarray(x)
-            if x.shape[0] % nproc:
+            # the batch must divide the FULL data axis, not just the process
+            # count: a per-process slice that doesn't divide that process's
+            # devices would die much deeper inside
+            # make_array_from_process_local_data with an opaque
+            # global-dimension error (and "process-divisible" advice alone
+            # would not fix it)
+            if x.shape[0] % max(n_data, nproc):
                 raise ValueError(
                     f"streamed batch size {x.shape[0]} is not divisible by "
-                    f"process_count {nproc}; use a drop_last loader with a "
-                    "process-divisible batch_size"
+                    f"the data axis ({n_data} devices over {nproc} "
+                    "processes); use a drop_last/padded loader with a "
+                    "data-axis-divisible batch_size"
                 )
             rows = x.shape[0] // nproc
             return x[pid * rows : (pid + 1) * rows]

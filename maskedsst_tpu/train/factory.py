@@ -164,6 +164,17 @@ def load_pretrained_params(path: str, config: Config, model, seed: int = 5):
             continue
         if key == "pos_embed" and config.get("patch_sub", 0):
             want = (config.image_size - config.patch_sub) ** 2
-            val = np.asarray(val)[:, :want, :]
+            val = np.asarray(val)
+            # the reference asserts this before truncating
+            # (src/utils.py:303-308); without it a checkpoint pretrained at
+            # a SMALLER image_size makes the slice a silent no-op and the
+            # wrong-shaped table only fails much later inside apply
+            assert val.shape[1] >= want, (
+                f"checkpoint pos_embed has {val.shape[1]} positions < the "
+                f"{want} this finetune geometry needs (image_size "
+                f"{config.image_size} - patch_sub {config.patch_sub}); the "
+                "checkpoint was pretrained at a smaller image_size"
+            )
+            val = val[:, :want, :]
         merged[key] = val
     return serialization.from_state_dict(fresh, merged)

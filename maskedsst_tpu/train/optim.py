@@ -180,6 +180,28 @@ def set_learning_rate(opt_state, scale_or_value: float, *, scale: bool = True):
     )
 
 
+def set_learning_rates(opt_state, values) -> "tuple":
+    """Set each injected ``learning_rate`` to the corresponding entry of
+    ``values``, in the same tree order :func:`get_learning_rates` reports
+    (per-group absolute setter — the uniform :func:`set_learning_rate`
+    cannot express distinct group values)."""
+    it = iter([float(v) for v in values])
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and isinstance(getattr(node, "hyperparams"), dict):
+            hp = dict(node.hyperparams)
+            if "learning_rate" in hp:
+                hp["learning_rate"] = hp["learning_rate"] * 0 + next(it)
+            return node._replace(hyperparams=hp) if hasattr(node, "_replace") else node
+        return node
+
+    return jax.tree.map(
+        visit,
+        opt_state,
+        is_leaf=lambda n: hasattr(n, "hyperparams") and isinstance(getattr(n, "hyperparams", None), dict),
+    )
+
+
 def get_learning_rates(opt_state) -> list:
     """All injected learning-rate values in the optimizer state, in tree order."""
     rates = []
@@ -262,43 +284,70 @@ class MultiStepLR:
 
 class CosineAnnealingLR:
     """torch CosineAnnealingLR(T_max, eta_min=0) equivalent, host-side
-    (src/utils.py:50-57): lr_t = eta_min + (base - eta_min) *
-    (1 + cos(pi * t / T_max)) / 2."""
+    (src/utils.py:50-57): per group g, lr_g(t) = eta_min + (base_g -
+    eta_min) * (1 + cos(pi * t / T_max)) / 2.
+
+    Group bases are captured from the optimizer state on the first update
+    and each epoch SETS the closed-form value per group (torch keeps
+    ``base_lrs`` the same way). The earlier ratio-chaining implementation
+    lost the per-group ratios permanently once the cosine reached eta_min
+    at t == T_max (scale-by-zero destroys them; the absolute-overwrite
+    recovery collapsed head and backbone to one LR for the rest of the
+    run)."""
 
     def __init__(self, base_lr: float, t_max: int = 50, eta_min: float = 0.0):
         self.base_lr = base_lr
         self.t_max = t_max
         self.eta_min = eta_min
         self.epoch = 0
+        self._group_bases = None  # captured from opt_state on first update
 
-    def step(self) -> float:
+    def _cos_factor(self, epoch: int) -> float:
         import math
 
-        self.epoch += 1
-        return self.eta_min + (self.base_lr - self.eta_min) * (
-            1 + math.cos(math.pi * self.epoch / self.t_max)
-        ) / 2
+        return (1 + math.cos(math.pi * epoch / self.t_max)) / 2
 
-    def update(self, opt_state):
-        # scale RELATIVE to the previous epoch's value so grouped
-        # optimizers (head_lr != lr) keep their per-group ratio — torch
-        # anneals each param group from its own base_lr; an absolute
-        # overwrite would collapse all groups to one value
-        prev = self.current()
-        new = self.step()
-        if prev <= 0.0:
-            return set_learning_rate(opt_state, new, scale=False)
-        return set_learning_rate(opt_state, new / prev, scale=True)
+    def _value(self, base: float, epoch: int) -> float:
+        return self.eta_min + (base - self.eta_min) * self._cos_factor(epoch)
 
     def current(self) -> float:
-        import math
+        return self._value(self.base_lr, self.epoch)
 
-        return self.eta_min + (self.base_lr - self.eta_min) * (
-            1 + math.cos(math.pi * self.epoch / self.t_max)
-        ) / 2
+    def step(self) -> float:
+        self.epoch += 1
+        return self.current()
+
+    def _capture_bases(self, opt_state):
+        rates = get_learning_rates(opt_state)
+        if not rates:
+            self._group_bases = [self.base_lr]
+            return
+        c = self._cos_factor(self.epoch)
+        if self.epoch == 0 or c <= 0.0:
+            # fresh state (rates ARE the bases), or an un-invertible resume
+            # exactly at t_max from a pre-round-5 sidecar without bases —
+            # treat current rates as bases (exact in the fresh case)
+            self._group_bases = [float(r) for r in rates]
+        else:
+            # resume mid-anneal from a sidecar without bases: invert the
+            # closed form at the restored epoch
+            self._group_bases = [
+                self.eta_min + (float(r) - self.eta_min) / c for r in rates
+            ]
+
+    def update(self, opt_state, metric: float = None):
+        """Advance one epoch and set every group's closed-form LR. Accepts
+        (and ignores) a metric so callers can drive all schedulers through
+        one interface (see MultiStepLR)."""
+        if self._group_bases is None:
+            self._capture_bases(opt_state)
+        self.epoch += 1
+        values = [self._value(b, self.epoch) for b in self._group_bases]
+        return set_learning_rates(opt_state, values)
 
     def state_dict(self) -> dict:
-        return {"epoch": self.epoch}
+        return {"epoch": self.epoch, "group_bases": self._group_bases}
 
     def load_state_dict(self, state: dict):
         self.epoch = state["epoch"]
+        self._group_bases = state.get("group_bases")

@@ -31,7 +31,10 @@ class Tracker:
         self.quiet = quiet
         self.jsonl_path = jsonl_path
         self._wandb = None
-        self.run_id = f"local-{int(time.time())}"
+        # pid suffix: two runs minted in the same SECOND (a shell loop over
+        # configs) must not share models/<run_id> and overwrite each
+        # other's checkpoints
+        self.run_id = f"local-{int(time.time())}-{os.getpid()}"
         # multi-host: exactly one process owns persistence. Without this,
         # every host of a pod slice would wandb.init its own run and append
         # to the same JSONL — N duplicate runs and interleaved files. The

@@ -1193,3 +1193,39 @@ def test_finetuner_epoch_budget_exhaustion_saves_resumable(tmp_path):
     assert resumed.resume(path) == 2 * spe
     resumed.fit(train_ds, val_ds, save_checkpoints=False, epochs=3, max_steps=10**6)
     _assert_states_equal(control.state, resumed.state)
+
+
+def test_cosine_scheduler_preserves_group_ratio_past_t_max():
+    """The cosine scheduler must keep per-group LR ratios through the
+    eta_min zero-crossing at t == T_max: the old ratio-chaining scale hit
+    scale=0 there and collapsed head and backbone to ONE LR for the rest
+    of the run (closed-form per-group values now, like torch base_lrs)."""
+    from maskedsst_tpu.train.finetuner import make_head_label_fn
+    from maskedsst_tpu.train.optim import CosineAnnealingLR
+
+    params = {
+        "mlp_head": {"kernel": jnp.ones((3, 3))},
+        "backbone": {"kernel": jnp.ones((3, 3))},
+    }
+    tx = build_optimizer(
+        "Adam", 1e-3, 0.0, head_lr=1e-2, head_label_fn=make_head_label_fn(None)
+    )
+    opt_state = tx.init(params)
+    sched = CosineAnnealingLR(1e-3, t_max=3)
+    for _ in range(8):  # crosses t_max = 3 twice over the cosine period
+        opt_state = sched.update(opt_state, None)
+        rates = sorted(get_learning_rates(opt_state))
+        if min(rates) > 0:
+            np.testing.assert_allclose(max(rates) / min(rates), 10.0, rtol=1e-6)
+    # past t_max the LRs recovered and the 10x head/backbone split survives
+    rates = sorted(get_learning_rates(opt_state))
+    assert min(rates) > 0
+    np.testing.assert_allclose(max(rates) / min(rates), 10.0, rtol=1e-6)
+
+    # resume path: a fresh scheduler restored from the sidecar carries the
+    # captured group bases and continues the same trajectory
+    fresh = CosineAnnealingLR(1e-3, t_max=3)
+    fresh.load_state_dict(sched.state_dict())
+    a = fresh.update(opt_state, None)
+    b = sched.update(opt_state, None)
+    np.testing.assert_allclose(get_learning_rates(a), get_learning_rates(b))
